@@ -1,0 +1,176 @@
+"""Point-cloud primitives: fixed-capacity clouds, transform, voxel downsample,
+
+polar binning, normal estimation — the TPU-native replacements for the PCL
+operations the reference links (``VoxelGrid``, ``transformPointCloud``,
+``NormalEstimation``; reference ``include/distributedMapping.h:234-253,340-349``,
+``include/descriptor.h:69-92``).
+
+Design stance (SURVEY §7): clouds are statically-shaped ``[N, 3]`` arrays with
+a validity mask / count; variable-size PCL vectors become padded tensors so
+every op is jittable and batchable.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+PAD_VALUE = 1e6  # sentinel coordinate for invalid points (far outside any map)
+
+
+class Cloud(NamedTuple):
+    """Fixed-capacity point cloud: xyz [N, 3], validity mask [N] (bool)."""
+
+    xyz: jax.Array
+    mask: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[-2]
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.mask, axis=-1)
+
+
+def from_points(xyz: jax.Array, capacity: int) -> Cloud:
+    """Pad/truncate a host array [M, 3] to a fixed-capacity Cloud."""
+    m = min(xyz.shape[0], capacity)
+    out = jnp.full((capacity, 3), PAD_VALUE, dtype=jnp.float32)
+    out = out.at[:m].set(xyz[:m].astype(jnp.float32))
+    mask = jnp.arange(capacity) < m
+    return Cloud(out, mask)
+
+
+def transform(cloud: Cloud, R: jax.Array, t: jax.Array) -> Cloud:
+    """Rigid transform of a cloud; invalid points stay at the sentinel."""
+    xyz = jnp.einsum("...ij,...nj->...ni", R, cloud.xyz) + t[..., None, :]
+    xyz = jnp.where(cloud.mask[..., None], xyz, PAD_VALUE)
+    return Cloud(xyz, cloud.mask)
+
+
+def voxel_downsample(cloud: Cloud, leaf: float, out_capacity: int | None = None) -> Cloud:
+    """Voxel-grid downsample via hash + representative-point selection.
+
+    TPU-native replacement for ``pcl::VoxelGrid`` (reference
+    ``include/distributedMapping.h:340-349``). Instead of centroid averaging
+    (which needs dynamic group-by), keeps one representative point per
+    occupied voxel — the point closest to its voxel center — selected with a
+    sort-free segment-min over hashed voxel ids. Deterministic, fully static
+    shapes.
+    """
+    n = cloud.capacity
+    out_capacity = out_capacity or n
+    inv_leaf = 1.0 / leaf
+    # voxel integer coords, offset to positive range
+    vox = jnp.floor(cloud.xyz * inv_leaf).astype(jnp.int32)
+    # hash voxel coords (large primes, wraparound fine for bucketing)
+    h = (
+        vox[..., 0] * 73856093 ^ vox[..., 1] * 19349663 ^ vox[..., 2] * 83492791
+    ).astype(jnp.uint32)
+    n_buckets = 2 * n
+    bucket = (h % jnp.uint32(n_buckets)).astype(jnp.int32)
+    bucket = jnp.where(cloud.mask, bucket, n_buckets)  # invalid -> overflow bucket
+
+    # distance of each point to its voxel center
+    center = (vox.astype(jnp.float32) + 0.5) * leaf
+    d2 = jnp.sum((cloud.xyz - center) ** 2, axis=-1)
+    d2 = jnp.where(cloud.mask, d2, jnp.inf)
+
+    # segment-min: find, per bucket, the index of the closest-to-center point.
+    # Pack (d2, index) into a single sortable key via scatter-min on d2 then
+    # match: first scatter min d2 per bucket, then pick points equal to min.
+    min_d2 = jnp.full((n_buckets + 1,), jnp.inf, dtype=jnp.float32)
+    min_d2 = min_d2.at[bucket].min(d2)
+    is_rep = (d2 <= min_d2[bucket]) & cloud.mask
+    # ties (identical d2 in same bucket): keep lowest index
+    first_idx = jnp.full((n_buckets + 1,), n, dtype=jnp.int32)
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    first_idx = first_idx.at[bucket].min(jnp.where(is_rep, idxs, n))
+    is_rep = is_rep & (idxs == first_idx[bucket])
+
+    # compact representatives to the front
+    order = jnp.argsort(~is_rep, stable=True)  # reps first, original order kept
+    take = order[:out_capacity]
+    new_mask = is_rep[take]
+    new_xyz = jnp.where(new_mask[:, None], cloud.xyz[take], PAD_VALUE)
+    return Cloud(new_xyz, new_mask)
+
+
+def polar_bins(
+    xyz: jax.Array,
+    mask: jax.Array,
+    num_rings: int,
+    num_sectors: int,
+    max_radius: float,
+    min_radius: float = 0.0,
+):
+    """Ring/sector bin indices for each point (Scan Context style binning,
+
+    reference ``include/descriptor.h:1404-1461``). Returns
+    ``(ring_idx, sector_idx, valid)`` with out-of-range points masked out."""
+    x, y = xyz[..., 0], xyz[..., 1]
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(y, x)  # [-pi, pi]
+    frac = (theta + jnp.pi) / (2.0 * jnp.pi)  # [0, 1)
+    sector = jnp.clip((frac * num_sectors).astype(jnp.int32), 0, num_sectors - 1)
+    ring = jnp.clip(
+        ((r - min_radius) / (max_radius - min_radius) * num_rings).astype(jnp.int32),
+        0,
+        num_rings - 1,
+    )
+    valid = mask & (r < max_radius) & (r >= min_radius)
+    return ring, sector, valid
+
+
+def scatter_max_image(
+    values: jax.Array,
+    ring: jax.Array,
+    sector: jax.Array,
+    valid: jax.Array,
+    num_rings: int,
+    num_sectors: int,
+    init: float = 0.0,
+) -> jax.Array:
+    """Bin-wise max image [num_rings, num_sectors] from per-point values."""
+    flat_idx = jnp.where(valid, ring * num_sectors + sector, num_rings * num_sectors)
+    img = jnp.full((num_rings * num_sectors + 1,), init, dtype=values.dtype)
+    img = img.at[flat_idx].max(jnp.where(valid, values, init))
+    return img[:-1].reshape(num_rings, num_sectors)
+
+
+def estimate_normals(cloud: Cloud, k: int = 16, block: int = 512) -> jax.Array:
+    """Per-point normals from the k-NN neighborhood covariance eigenvector.
+
+    TPU-native replacement for ``pcl::NormalEstimation`` (reference
+    ``include/descriptor.h:69-78,318-330``): tiled brute-force k-NN (distance
+    matrix blocks stay MXU-shaped) + smallest-eigenvector of the 3x3
+    neighborhood covariance via closed-form symmetric eigendecomposition.
+    Returns [N, 3] unit normals (zeros for invalid points).
+    """
+    xyz = jnp.where(cloud.mask[:, None], cloud.xyz, PAD_VALUE)
+    n = cloud.capacity
+
+    def block_knn(q):  # q: [B, 3]
+        d2 = (
+            jnp.sum(q * q, axis=-1, keepdims=True)
+            - 2.0 * q @ xyz.T
+            + jnp.sum(xyz * xyz, axis=-1)[None, :]
+        )
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx  # [B, k]
+
+    idx = jax.lax.map(
+        block_knn, xyz.reshape(n // block, block, 3)
+    ).reshape(n, k)
+    nbrs = xyz[idx]  # [N, k, 3]
+    mean = jnp.mean(nbrs, axis=1, keepdims=True)
+    centered = nbrs - mean
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    # smallest eigenvector of symmetric 3x3
+    _, vecs = jnp.linalg.eigh(cov)
+    normal = vecs[..., 0]  # eigenvectors sorted ascending
+    # orient towards viewpoint (origin), PCL convention
+    flip = jnp.sum(normal * (-xyz), axis=-1) < 0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    return jnp.where(cloud.mask[:, None], normal, 0.0)

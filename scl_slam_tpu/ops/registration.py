@@ -1,0 +1,209 @@
+"""Geometric verification: Kabsch/SVD alignment, batched ICP, RANSAC.
+
+TPU-native replacements for the PCL registration stack the reference uses for
+loop verification:
+
+- intra-robot: ``pcl::IterativeClosestPoint`` (maxCorr 100, 50 iters,
+  reference ``include/distributedMapping.h:1108-1126``);
+- inter-robot: ``CorrespondenceEstimation`` + ``CorrespondenceRejectorSampleConsensus``
+  (RANSAC) + ``TransformationEstimationSVD``
+  (reference ``include/distributedMapping.h:1210-1243``).
+
+All routines are fixed-shape, jittable, vmappable: correspondence search is a
+tiled brute-force nearest-neighbor (distance-matrix blocks are matmul-shaped
+and tile onto the MXU), the rigid solve is closed-form Kabsch via 3x3 SVD,
+ICP iterations run under ``lax.scan`` with convergence masking instead of
+data-dependent breaks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from .pointcloud import PAD_VALUE, Cloud
+
+
+class ICPResult(NamedTuple):
+    pose: se3.Pose          # transform mapping source into target frame
+    fitness: jax.Array      # mean squared distance over inlier correspondences
+    inlier_frac: jax.Array  # fraction of valid source points with a match
+    converged: jax.Array    # bool: update fell below tolerance
+
+
+def kabsch(
+    src: jax.Array, dst: jax.Array, weights: jax.Array
+) -> se3.Pose:
+    """Weighted rigid alignment: argmin_T sum_i w_i |T(src_i) - dst_i|^2.
+
+    Closed-form via SVD of the weighted cross-covariance (the
+    ``TransformationEstimationSVD`` equivalent). Shapes: src/dst [..., N, 3],
+    weights [..., N]. Batched over leading dims.
+    """
+    w = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    mu_s = jnp.sum(src * w[..., None], axis=-2)
+    mu_d = jnp.sum(dst * w[..., None], axis=-2)
+    cs = src - mu_s[..., None, :]
+    cd = dst - mu_d[..., None, :]
+    H = jnp.einsum("...ni,...n,...nj->...ij", cs, w, cd)
+    U, _, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    D = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+    )
+    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, D, U)  # V diag(D) U^T
+    t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
+    return se3.Pose(R, t)
+
+
+def nearest_neighbors(
+    query: jax.Array, target: jax.Array, block: int = 256
+) -> tuple[jax.Array, jax.Array]:
+    """Brute-force 1-NN of each query point in target.
+
+    query [Nq, 3], target [Nt, 3] (invalid points at PAD_VALUE sort last
+    naturally). Returns (sq_dist [Nq], index [Nq]). Tiled over query blocks so
+    the [block, Nt] distance matrix stays in VMEM.
+    """
+    nq = query.shape[0]
+    t_sq = jnp.sum(target * target, axis=-1)
+
+    def one_block(q):
+        d2 = jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * q @ target.T + t_sq[None, :]
+        idx = jnp.argmin(d2, axis=-1)
+        return jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], idx
+
+    nb = max(1, nq // block)
+    d2, idx = jax.lax.map(one_block, query.reshape(nb, -1, 3))
+    return d2.reshape(nq), idx.reshape(nq)
+
+
+def icp(
+    source: Cloud,
+    target: Cloud,
+    init: se3.Pose | None = None,
+    max_iters: int = 30,
+    max_corr_dist: float = 10.0,
+    tol: float = 1e-6,
+) -> ICPResult:
+    """Point-to-point ICP with fixed iteration count and convergence masking.
+
+    Semantics follow the reference's intra-loop verification
+    (``include/distributedMapping.h:1108-1126``): fitness = mean squared
+    correspondence distance over matches within ``max_corr_dist`` (PCL
+    ``getFitnessScore`` analog), compared against
+    ``historyKeyframeFitnessScore`` by the caller.
+    """
+    if init is None:
+        init = se3.identity(dtype=source.xyz.dtype)
+    tgt = jnp.where(target.mask[:, None], target.xyz, PAD_VALUE)
+    src = source.xyz
+    smask = source.mask
+
+    def step(carry, _):
+        pose, prev_delta, converged = carry
+        moved = se3.transform_points(pose, src)
+        d2, idx = nearest_neighbors(moved, tgt)
+        matched = tgt[idx]
+        good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+        w = good.astype(src.dtype)
+        update = kabsch(moved, matched, w)
+        new_pose = se3.compose(update, pose)
+        delta = jnp.linalg.norm(se3.log(update))
+        newly_converged = delta < tol
+        # freeze once converged (mask the update)
+        pose_out = se3.Pose(
+            jnp.where(converged, pose.R, new_pose.R),
+            jnp.where(converged, pose.t, new_pose.t),
+        )
+        return (pose_out, delta, converged | newly_converged), None
+
+    (pose, delta, converged), _ = jax.lax.scan(
+        step, (init, jnp.array(jnp.inf, src.dtype), jnp.array(False)), None,
+        length=max_iters,
+    )
+
+    # final fitness with converged pose
+    moved = se3.transform_points(pose, src)
+    d2, idx = nearest_neighbors(moved, tgt)
+    good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+    n_good = jnp.maximum(jnp.sum(good), 1)
+    fitness = jnp.sum(jnp.where(good, d2, 0.0)) / n_good
+    inlier_frac = n_good / jnp.maximum(jnp.sum(smask), 1)
+    return ICPResult(pose, fitness, inlier_frac, converged)
+
+
+class RansacResult(NamedTuple):
+    pose: se3.Pose
+    inlier_ratio: jax.Array
+    num_inliers: jax.Array
+    success: jax.Array
+
+
+def ransac_align(
+    source: Cloud,
+    target: Cloud,
+    key: jax.Array,
+    num_hypotheses: int = 256,
+    sample_size: int = 3,
+    inlier_thresh: float = 0.25,
+    min_inlier_ratio: float = 0.45,
+    refine: bool = True,
+) -> RansacResult:
+    """RANSAC rigid alignment over nearest-neighbor correspondences.
+
+    The inter-robot geometric-verification equivalent (reference
+    ``include/distributedMapping.h:1210-1243``): estimate correspondences by
+    1-NN, then — instead of PCL's sequential 1000-2000 RANSAC iterations —
+    evaluate ``num_hypotheses`` minimal-sample Kabsch fits **as one batch**
+    (the hypothesis axis is the TPU batch axis), score all by inlier count,
+    pick the best, and optionally refine with one weighted Kabsch over
+    inliers. Accept iff inlier ratio >= ``min_inlier_ratio``
+    (`inlierTreshold` semantics, reference ``include/distributedMapping.h:187,1238-1243``).
+    """
+    tgt = jnp.where(target.mask[:, None], target.xyz, PAD_VALUE)
+    d2, idx = nearest_neighbors(source.xyz, tgt)
+    corr_valid = source.mask & target.mask[idx]
+    matched = tgt[idx]  # [N, 3]
+    n = source.capacity
+
+    # sample minimal sets from valid correspondences (gumbel top-k trick over
+    # masked uniform scores -> approximately uniform valid samples)
+    g = jax.random.gumbel(key, (num_hypotheses, n))
+    g = jnp.where(corr_valid[None, :], g, -jnp.inf)
+    _, samples = jax.lax.top_k(g, sample_size)  # [H, sample_size]
+
+    src_s = source.xyz[samples]      # [H, s, 3]
+    dst_s = matched[samples]         # [H, s, 3]
+    ones = jnp.ones(samples.shape, dtype=source.xyz.dtype)
+    hyp = kabsch(src_s, dst_s, ones)  # batched over H
+
+    # score every hypothesis: residuals for all correspondences
+    moved = jnp.einsum("hij,nj->hni", hyp.R, source.xyz) + hyp.t[:, None, :]
+    res2 = jnp.sum((moved - matched[None]) ** 2, axis=-1)  # [H, N]
+    inl = (res2 < inlier_thresh * inlier_thresh) & corr_valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    best_pose = se3.Pose(hyp.R[best], hyp.t[best])
+    best_inl = inl[best]
+
+    if refine:
+        w = best_inl.astype(source.xyz.dtype)
+        refined = kabsch(source.xyz, matched, jnp.maximum(w, 1e-12))
+        # recount inliers after refinement
+        moved_r = se3.transform_points(refined, source.xyz)
+        res2_r = jnp.sum((moved_r - matched) ** 2, axis=-1)
+        inl_r = (res2_r < inlier_thresh * inlier_thresh) & corr_valid
+        use_refined = jnp.sum(inl_r) >= jnp.sum(best_inl)
+        best_pose = se3.Pose(
+            jnp.where(use_refined, refined.R, best_pose.R),
+            jnp.where(use_refined, refined.t, best_pose.t),
+        )
+        best_inl = jnp.where(use_refined, inl_r, best_inl)
+
+    num_inliers = jnp.sum(best_inl)
+    n_corr = jnp.maximum(jnp.sum(corr_valid), 1)
+    ratio = num_inliers / n_corr
+    return RansacResult(best_pose, ratio, num_inliers, ratio >= min_inlier_ratio)

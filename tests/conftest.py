@@ -1,0 +1,22 @@
+"""Test configuration: force CPU backend with a virtual 8-device mesh.
+
+Multi-chip hardware is not available in CI; sharding tests run against
+``--xla_force_host_platform_device_count=8`` (the analog of the reference's
+single-machine multi-robot simulation via namespaced rosbag replay,
+reference ``launch/test_distributed_loop.launch:34-58``).
+
+Note: the environment's sitecustomize imports jax and registers the axon TPU
+backend before pytest starts, so the JAX_PLATFORMS env var is already baked
+into jax.config — we must override via jax.config.update instead.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
