@@ -50,48 +50,47 @@ def transform(cloud: Cloud, R: jax.Array, t: jax.Array) -> Cloud:
 
 
 def voxel_downsample(cloud: Cloud, leaf: float, out_capacity: int | None = None) -> Cloud:
-    """Voxel-grid downsample via hash + representative-point selection.
+    """Voxel-grid downsample keeping one representative point per voxel.
 
     TPU-native replacement for ``pcl::VoxelGrid`` (reference
     ``include/distributedMapping.h:340-349``). Instead of centroid averaging
-    (which needs dynamic group-by), keeps one representative point per
-    occupied voxel — the point closest to its voxel center — selected with a
-    sort-free segment-min over hashed voxel ids. Deterministic, fully static
-    shapes.
+    (dynamic group-by), keeps the point closest to its voxel center. Voxels
+    are grouped **exactly** by a lexicographic sort of integer voxel coords
+    (no hash collisions), then a segment-min over group ids picks the
+    representative. Deterministic, fully static shapes.
     """
     n = cloud.capacity
     out_capacity = out_capacity or n
     inv_leaf = 1.0 / leaf
-    # voxel integer coords, offset to positive range
     vox = jnp.floor(cloud.xyz * inv_leaf).astype(jnp.int32)
-    # hash voxel coords (large primes, wraparound fine for bucketing)
-    h = (
-        vox[..., 0] * 73856093 ^ vox[..., 1] * 19349663 ^ vox[..., 2] * 83492791
-    ).astype(jnp.uint32)
-    n_buckets = 2 * n
-    bucket = (h % jnp.uint32(n_buckets)).astype(jnp.int32)
-    bucket = jnp.where(cloud.mask, bucket, n_buckets)  # invalid -> overflow bucket
+    # push invalid points to a far group so they sort last and group together
+    big = jnp.int32(2**30)
+    vox = jnp.where(cloud.mask[:, None], vox, big)
 
-    # distance of each point to its voxel center
+    # exact grouping: lexicographic sort, consecutive-difference group ids
+    order = jnp.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))
+    sv = vox[order]
+    new_group = jnp.any(sv != jnp.roll(sv, 1, axis=0), axis=-1)
+    new_group = new_group.at[0].set(True)
+    gid_sorted = jnp.cumsum(new_group) - 1  # [n], group id per sorted slot
+    # scatter group ids back to original point order
+    gid = jnp.zeros(n, jnp.int32).at[order].set(gid_sorted.astype(jnp.int32))
+
+    # representative = closest point to its voxel center (segment-min, exact)
     center = (vox.astype(jnp.float32) + 0.5) * leaf
     d2 = jnp.sum((cloud.xyz - center) ** 2, axis=-1)
     d2 = jnp.where(cloud.mask, d2, jnp.inf)
-
-    # segment-min: find, per bucket, the index of the closest-to-center point.
-    # Pack (d2, index) into a single sortable key via scatter-min on d2 then
-    # match: first scatter min d2 per bucket, then pick points equal to min.
-    min_d2 = jnp.full((n_buckets + 1,), jnp.inf, dtype=jnp.float32)
-    min_d2 = min_d2.at[bucket].min(d2)
-    is_rep = (d2 <= min_d2[bucket]) & cloud.mask
-    # ties (identical d2 in same bucket): keep lowest index
-    first_idx = jnp.full((n_buckets + 1,), n, dtype=jnp.int32)
+    min_d2 = jnp.full((n,), jnp.inf, dtype=jnp.float32).at[gid].min(d2)
     idxs = jnp.arange(n, dtype=jnp.int32)
-    first_idx = first_idx.at[bucket].min(jnp.where(is_rep, idxs, n))
-    is_rep = is_rep & (idxs == first_idx[bucket])
+    is_rep = (d2 <= min_d2[gid]) & cloud.mask
+    first_idx = jnp.full((n,), n, dtype=jnp.int32).at[gid].min(
+        jnp.where(is_rep, idxs, n)
+    )
+    is_rep = is_rep & (idxs == first_idx[gid])
 
     # compact representatives to the front
-    order = jnp.argsort(~is_rep, stable=True)  # reps first, original order kept
-    take = order[:out_capacity]
+    order2 = jnp.argsort(~is_rep, stable=True)
+    take = order2[:out_capacity]
     new_mask = is_rep[take]
     new_xyz = jnp.where(new_mask[:, None], cloud.xyz[take], PAD_VALUE)
     return Cloud(new_xyz, new_mask)

@@ -71,7 +71,12 @@ def nearest_neighbors(
     t_sq = jnp.sum(target * target, axis=-1)
 
     def one_block(q):
-        d2 = jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * q @ target.T + t_sq[None, :]
+        # clamp: the expanded form |q|^2 - 2 q.t + |t|^2 can dip slightly
+        # negative from f32 roundoff
+        d2 = jnp.maximum(
+            jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * q @ target.T + t_sq[None, :],
+            0.0,
+        )
         idx = jnp.argmin(d2, axis=-1)
         return jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], idx
 
@@ -129,8 +134,12 @@ def icp(
     moved = se3.transform_points(pose, src)
     d2, idx = nearest_neighbors(moved, tgt)
     good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
-    n_good = jnp.maximum(jnp.sum(good), 1)
-    fitness = jnp.sum(jnp.where(good, d2, 0.0)) / n_good
+    n_good = jnp.sum(good)
+    fitness = jnp.where(
+        n_good > 0,
+        jnp.sum(jnp.where(good, d2, 0.0)) / jnp.maximum(n_good, 1),
+        jnp.inf,  # no correspondences: infinitely bad, never passes the gate
+    )
     inlier_frac = n_good / jnp.maximum(jnp.sum(smask), 1)
     return ICPResult(pose, fitness, inlier_frac, converged)
 

@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scl_slam_tpu.geometry import se3, so3
+from scl_slam_tpu.ops import pointcloud as pc
+
+
+def make_cloud(key, n_valid, capacity, scale=10.0):
+    pts = jax.random.uniform(key, (n_valid, 3), minval=-scale, maxval=scale)
+    return pc.from_points(np.asarray(pts), capacity)
+
+
+class TestCloud:
+    def test_from_points_pads(self):
+        cloud = make_cloud(jax.random.PRNGKey(0), 100, 128)
+        assert cloud.capacity == 128
+        assert int(cloud.count()) == 100
+        assert np.all(np.asarray(cloud.xyz[100:]) == pc.PAD_VALUE)
+
+    def test_transform_matches_se3(self):
+        key = jax.random.PRNGKey(1)
+        cloud = make_cloud(key, 100, 128)
+        R = so3.exp(jnp.array([0.1, 0.2, 0.3]))
+        t = jnp.array([1.0, -2.0, 0.5])
+        out = pc.transform(cloud, R, t)
+        expected = se3.transform_points(se3.Pose(R, t), cloud.xyz[:100])
+        np.testing.assert_allclose(
+            np.asarray(out.xyz[:100]), np.asarray(expected), atol=1e-5
+        )
+        # padded points stay at sentinel
+        assert np.all(np.asarray(out.xyz[100:]) == pc.PAD_VALUE)
+
+
+class TestVoxelDownsample:
+    def test_dedup_same_voxel(self):
+        # many points in the same voxel -> one representative
+        pts = np.random.RandomState(0).uniform(0, 0.4, (50, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, 64)
+        out = pc.voxel_downsample(cloud, leaf=0.5)
+        assert int(out.count()) == 1
+
+    def test_grid_preserved(self):
+        # points on a coarse grid, leaf smaller than spacing -> all kept
+        g = np.stack(np.meshgrid(*[np.arange(4) * 2.0] * 3), axis=-1).reshape(-1, 3)
+        cloud = pc.from_points(g.astype(np.float32), 128)
+        out = pc.voxel_downsample(cloud, leaf=0.5)
+        assert int(out.count()) == 64
+
+    def test_count_reduction_realistic(self):
+        key = jax.random.PRNGKey(2)
+        cloud = make_cloud(key, 2000, 2048, scale=20.0)
+        out = pc.voxel_downsample(cloud, leaf=4.0)
+        n = int(out.count())
+        # 10x10x10 voxel space, 2000 pts: heavy reduction but non-trivial
+        assert 100 < n < 1300
+
+    def test_representatives_are_input_points(self):
+        key = jax.random.PRNGKey(3)
+        cloud = make_cloud(key, 500, 512)
+        out = pc.voxel_downsample(cloud, leaf=2.0)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        orig = np.asarray(cloud.xyz)[: int(cloud.count())]
+        for p in kept[:20]:
+            assert np.min(np.linalg.norm(orig - p, axis=1)) < 1e-6
+
+
+class TestPolarBins:
+    def test_known_points(self):
+        xyz = jnp.array(
+            [
+                [1.0, 0.0, 0.0],    # theta=0 -> sector 30 of 60 (frac 0.5)
+                [-1.0, 0.0, 0.0],   # theta=pi -> sector 0 or 59 (wraps)
+                [0.0, 1.0, 0.0],    # theta=pi/2 -> sector 45
+                [79.0, 0.0, 0.0],   # outer ring
+                [100.0, 0.0, 0.0],  # out of range -> invalid
+            ]
+        )
+        mask = jnp.ones(5, bool)
+        ring, sector, valid = pc.polar_bins(xyz, mask, 20, 60, 80.0)
+        assert sector[0] == 30
+        assert sector[2] == 45
+        assert ring[0] == 0
+        assert ring[3] == 19
+        assert bool(valid[3]) and not bool(valid[4])
+
+    def test_scatter_max(self):
+        xyz = jnp.array([[1.0, 0.0, 0.5], [1.05, 0.0, 2.0], [0.0, 40.0, 1.0]])
+        mask = jnp.ones(3, bool)
+        ring, sector, valid = pc.polar_bins(xyz, mask, 20, 60, 80.0)
+        img = pc.scatter_max_image(xyz[:, 2], ring, sector, valid, 20, 60)
+        # both first points fall in same bin -> max z = 2.0
+        assert img[int(ring[0]), int(sector[0])] == 2.0
+        assert img[int(ring[2]), int(sector[2])] == 1.0
+        assert float(jnp.sum(img > 0)) == 2  # only two occupied bins
+
+
+class TestNormals:
+    def test_plane_normals(self):
+        # points on z=0 plane -> normals ~ +-z
+        key = jax.random.PRNGKey(4)
+        xy = jax.random.uniform(key, (512, 2), minval=-5, maxval=5)
+        pts = jnp.concatenate([xy, jnp.zeros((512, 1))], axis=-1)
+        cloud = pc.Cloud(pts, jnp.ones(512, bool))
+        normals = pc.estimate_normals(cloud, k=8)
+        nz = np.abs(np.asarray(normals)[:, 2])
+        assert np.mean(nz > 0.99) > 0.95

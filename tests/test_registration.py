@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scl_slam_tpu.geometry import se3, so3
+from scl_slam_tpu.ops import pointcloud as pc
+from scl_slam_tpu.ops import registration as reg
+
+
+def random_cloud(key, n, capacity, scale=10.0):
+    pts = jax.random.uniform(key, (n, 3), minval=-scale, maxval=scale)
+    return pc.from_points(np.asarray(pts), capacity)
+
+
+def known_transform(dtheta=0.15, dt=(0.5, -0.3, 0.2)):
+    R = so3.exp(jnp.array([0.02, -0.03, dtheta]))
+    return se3.Pose(R, jnp.array(dt))
+
+
+class TestKabsch:
+    def test_exact_recovery(self):
+        key = jax.random.PRNGKey(0)
+        src = jax.random.normal(key, (100, 3)) * 5
+        gt = known_transform()
+        dst = se3.transform_points(gt, src)
+        est = reg.kabsch(src, dst, jnp.ones(100))
+        np.testing.assert_allclose(np.asarray(est.R), np.asarray(gt.R), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(est.t), np.asarray(gt.t), atol=1e-4)
+
+    def test_weighted_ignores_outliers(self):
+        key = jax.random.PRNGKey(1)
+        src = jax.random.normal(key, (100, 3)) * 5
+        gt = known_transform()
+        dst = se3.transform_points(gt, src)
+        # corrupt last 20 correspondences, weight them 0
+        dst = dst.at[80:].add(100.0)
+        w = jnp.concatenate([jnp.ones(80), jnp.zeros(20)])
+        est = reg.kabsch(src, dst, w)
+        np.testing.assert_allclose(np.asarray(est.R), np.asarray(gt.R), atol=1e-5)
+
+    def test_batched(self):
+        key = jax.random.PRNGKey(2)
+        src = jax.random.normal(key, (4, 50, 3))
+        gt_R = so3.exp(jax.random.normal(jax.random.fold_in(key, 1), (4, 3)) * 0.3)
+        gt_t = jax.random.normal(jax.random.fold_in(key, 2), (4, 3))
+        dst = jnp.einsum("bij,bnj->bni", gt_R, src) + gt_t[:, None]
+        est = reg.kabsch(src, dst, jnp.ones((4, 50)))
+        np.testing.assert_allclose(np.asarray(est.R), np.asarray(gt_R), atol=1e-4)
+
+
+class TestNearestNeighbors:
+    def test_exact(self):
+        key = jax.random.PRNGKey(3)
+        target = jax.random.normal(key, (256, 3)) * 10
+        query = target[7:20] + 0.01
+        d2, idx = reg.nearest_neighbors(query, target)
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(7, 20))
+        assert np.all(np.asarray(d2) < 0.001)
+
+
+class TestICP:
+    def test_recovers_small_transform(self):
+        key = jax.random.PRNGKey(4)
+        target = random_cloud(key, 800, 1024, scale=20.0)
+        gt = known_transform(dtheta=0.1, dt=(0.8, -0.5, 0.1))
+        # source = inverse-transformed target points (so gt maps src -> tgt)
+        inv = se3.inverse(gt)
+        src_pts = se3.transform_points(inv, target.xyz[:800])
+        source = pc.Cloud(
+            jnp.where(jnp.arange(1024)[:, None] < 800,
+                      jnp.pad(src_pts, ((0, 224), (0, 0)), constant_values=pc.PAD_VALUE),
+                      pc.PAD_VALUE),
+            jnp.arange(1024) < 800,
+        )
+        result = reg.icp(source, target, max_iters=25, max_corr_dist=5.0)
+        np.testing.assert_allclose(np.asarray(result.pose.R), np.asarray(gt.R), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(result.pose.t), np.asarray(gt.t), atol=1e-2)
+        assert float(result.fitness) < 1e-4
+
+    def test_fitness_high_for_unrelated(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        a = random_cloud(k1, 500, 512, scale=20.0)
+        b_pts = np.asarray(jax.random.uniform(k2, (500, 3), minval=100, maxval=140))
+        b = pc.from_points(b_pts, 512)
+        result = reg.icp(a, b, max_iters=10, max_corr_dist=5.0)
+        # no correspondences within range -> inlier_frac ~ 0
+        assert float(result.inlier_frac) < 0.05
+
+
+class TestRansac:
+    def test_accepts_true_overlap(self):
+        # NN correspondences presuppose drift-scale misalignment: the
+        # reference transforms both clouds into the map frame before
+        # verification (distributedMapping.h:1325-1338), so only residual
+        # drift separates them
+        key = jax.random.PRNGKey(6)
+        target = random_cloud(key, 800, 1024, scale=20.0)
+        gt = known_transform(dtheta=0.05, dt=(0.5, 0.3, 0.1))
+        src_pts = se3.transform_points(se3.inverse(gt), target.xyz[:800])
+        # add 20% outlier points
+        noise = jax.random.uniform(
+            jax.random.fold_in(key, 1), (200, 3), minval=-30, maxval=30
+        )
+        src_all = jnp.concatenate([src_pts[:600], noise], axis=0)
+        source = pc.from_points(np.asarray(src_all), 1024)
+        res = reg.ransac_align(
+            source, target, jax.random.PRNGKey(7),
+            num_hypotheses=256, inlier_thresh=0.3, min_inlier_ratio=0.45,
+        )
+        assert bool(res.success)
+        np.testing.assert_allclose(np.asarray(res.pose.R), np.asarray(gt.R), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.pose.t), np.asarray(gt.t), atol=0.1)
+
+    def test_rejects_unrelated(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+        a = random_cloud(k1, 400, 512, scale=20.0)
+        b = random_cloud(k2, 400, 512, scale=20.0)
+        res = reg.ransac_align(
+            a, b, jax.random.PRNGKey(9),
+            num_hypotheses=128, inlier_thresh=0.25, min_inlier_ratio=0.45,
+        )
+        assert not bool(res.success)
+
+    def test_jittable(self):
+        key = jax.random.PRNGKey(10)
+        target = random_cloud(key, 300, 512)
+        source = random_cloud(jax.random.fold_in(key, 1), 300, 512)
+        f = jax.jit(
+            lambda s, t, k: reg.ransac_align(s, t, k, num_hypotheses=64)
+        )
+        out = f(source, target, jax.random.PRNGKey(11))
+        assert np.isfinite(float(out.inlier_ratio))
