@@ -1,0 +1,197 @@
+"""Manifold Gauss-Newton / Levenberg-Marquardt pose-graph solver.
+
+TPU-native replacement for GTSAM iSAM2 (reference
+``include/distributedMapping.h:520-523, 885-900``). The reference re-optimizes
+in batch on every loop event anyway (via ``distributedOptimizer``), so a
+damped batch GN with warm starts reproduces its behavior; "incremental"
+updates fall out of warm-starting from the previous estimate.
+
+Design (SURVEY §7.6): per-edge 6x6 Jacobian blocks via vmapped forward-mode
+autodiff at the current linearization point; normal equations are never
+materialized — the Gauss-Newton matrix is applied matrix-free with
+gather/segment-sum (einsum-shaped, MXU-friendly), solved by preconditioned
+conjugate gradients with an exact block-Jacobi (6x6 Cholesky) preconditioner.
+Everything runs under ``lax.scan`` with static iteration counts: one jitted
+``solve`` handles any graph up to capacity with zero recompiles.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from . import factors as F
+
+
+class SolveResult(NamedTuple):
+    poses: se3.Pose
+    chi2_history: jax.Array   # [gn_iters + 1]
+    cg_residuals: jax.Array   # [gn_iters] final CG residual norms
+    delta_norms: jax.Array    # [gn_iters] update magnitudes
+
+
+def _edge_residual(xi_i, xi_j, Ti_R, Ti_t, Tj_R, Tj_t, z_R, z_t):
+    Ti = se3.retract(se3.Pose(Ti_R, Ti_t), xi_i)
+    Tj = se3.retract(se3.Pose(Tj_R, Tj_t), xi_j)
+    z = se3.Pose(z_R, z_t)
+    return se3.log(se3.compose(se3.inverse(z), se3.between(Ti, Tj)))
+
+
+def _prior_residual(xi, T_R, T_t, z_R, z_t):
+    T = se3.retract(se3.Pose(T_R, T_t), xi)
+    return se3.log(se3.compose(se3.inverse(se3.Pose(z_R, z_t)), T))
+
+
+# vmapped per-edge Jacobians wrt the two pose perturbations, at xi = 0
+_edge_jac = jax.vmap(
+    jax.jacfwd(_edge_residual, argnums=(0, 1)),
+    in_axes=(0, 0, 0, 0, 0, 0, 0, 0),
+)
+_prior_jac = jax.vmap(jax.jacfwd(_prior_residual, argnums=0))
+
+
+def huber_weight(r_norm2: jax.Array, delta: float) -> jax.Array:
+    """IRLS weight for the Huber kernel on the weighted residual norm."""
+    r = jnp.sqrt(jnp.maximum(r_norm2, 1e-12))
+    return jnp.where(r <= delta, 1.0, delta / r)
+
+
+def _linearize(g: F.FactorGraph, poses: se3.Pose, huber_delta: float):
+    """Residuals, Jacobian blocks, and IRLS x noise weights at ``poses``."""
+    E = g.edge_capacity
+    zeros6 = jnp.zeros((E, 6), poses.t.dtype)
+    Ti = se3.take(poses, g.i)
+    Tj = se3.take(poses, g.j)
+    r_e = jax.vmap(_edge_residual)(
+        zeros6, zeros6, Ti.R, Ti.t, Tj.R, Tj.t, g.z.R, g.z.t
+    )
+    Ji, Jj = _edge_jac(zeros6, zeros6, Ti.R, Ti.t, Tj.R, Tj.t, g.z.R, g.z.t)
+
+    P = g.prior_capacity
+    zerosP = jnp.zeros((P, 6), poses.t.dtype)
+    Tp = se3.take(poses, g.prior_idx)
+    r_p = jax.vmap(_prior_residual)(zerosP, Tp.R, Tp.t, g.prior_z.R, g.prior_z.t)
+    Jp = _prior_jac(zerosP, Tp.R, Tp.t, g.prior_z.R, g.prior_z.t)
+
+    # weights: diagonal information * robust kernel * validity mask
+    info_e = g.sqrt_info ** 2                     # [E, 6]
+    wr_e = r_e * g.sqrt_info
+    rho_e = huber_weight(jnp.sum(wr_e * wr_e, -1), huber_delta)  # [E]
+    w_e = info_e * (rho_e * g.edge_mask())[:, None]
+
+    info_p = g.prior_sqrt_info ** 2
+    w_p = info_p * g.prior_mask()[:, None]
+    return r_e, Ji, Jj, w_e, r_p, Jp, w_p
+
+
+def _apply_H(x, g, Ji, Jj, w_e, Jp, w_p, D_damp_only):
+    """y = (J^T W J + damping) x, matrix-free. x, y: [N, 6]."""
+    xi = x[g.i]
+    xj = x[g.j]
+    u = (
+        jnp.einsum("eab,eb->ea", Ji, xi) + jnp.einsum("eab,eb->ea", Jj, xj)
+    ) * w_e
+    y = jnp.zeros_like(x)
+    y = y.at[g.i].add(jnp.einsum("eab,ea->eb", Ji, u))
+    y = y.at[g.j].add(jnp.einsum("eab,ea->eb", Jj, u))
+    up = jnp.einsum("pab,pb->pa", Jp, x[g.prior_idx]) * w_p
+    y = y.at[g.prior_idx].add(jnp.einsum("pab,pa->pb", Jp, up))
+    # damping term (D_damp_only holds just the added diagonal part)
+    y = y + jnp.einsum("nab,nb->na", D_damp_only, x)
+    return y
+
+
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters"))
+def solve(
+    g: F.FactorGraph,
+    poses: se3.Pose,
+    gn_iters: int = 10,
+    cg_iters: int = 64,
+    damping: float = 1e-6,
+    huber_delta: float = 1e9,
+) -> SolveResult:
+    """Damped Gauss-Newton with PCG inner solves.
+
+    ``poses`` is the full fixed-capacity pose array; slots without factors
+    are held in place by damping (zero gradient, zero update). ``huber_delta``
+    in units of weighted residual norm; 1e9 disables the robust kernel.
+    """
+    n_poses = poses.t.shape[0]
+    eye6 = jnp.eye(6, dtype=poses.t.dtype)
+
+    def gn_step(carry, _):
+        cur_poses = carry
+
+        r_e, Ji, Jj, w_e, r_p, Jp, w_p = _linearize(g, cur_poses, huber_delta)
+
+        # block diagonal of J^T W J, and the damping blocks that keep
+        # factor-less pose slots invertible and condition the solve
+        Hi = jnp.einsum("eab,ea,eac->ebc", Ji, w_e, Ji)
+        Hj = jnp.einsum("eab,ea,eac->ebc", Jj, w_e, Jj)
+        Hp = jnp.einsum("pab,pa,pac->pbc", Jp, w_p, Jp)
+        H_diag = jnp.zeros((n_poses, 6, 6), Ji.dtype)
+        H_diag = H_diag.at[g.i].add(Hi).at[g.j].add(Hj).at[g.prior_idx].add(Hp)
+        mag = jnp.maximum(jax.vmap(jnp.diag)(H_diag).max(-1), 1.0)
+        damp_blocks = (damping * mag + 1e-6)[:, None, None] * eye6
+        D = H_diag + damp_blocks
+
+        # rhs b = -J^T W r
+        b = jnp.zeros((n_poses, 6), poses.t.dtype)
+        b = b.at[g.i].add(-jnp.einsum("eab,ea->eb", Ji, w_e * r_e))
+        b = b.at[g.j].add(-jnp.einsum("eab,ea->eb", Jj, w_e * r_e))
+        b = b.at[g.prior_idx].add(-jnp.einsum("pab,pa->pb", Jp, w_p * r_p))
+
+        # block-Jacobi preconditioner: exact 6x6 Cholesky solves
+        L = jnp.linalg.cholesky(D)
+
+        def precond(v):
+            return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+
+        def Hx(v):
+            return _apply_H(v, g, Ji, Jj, w_e, Jp, w_p, damp_blocks)
+
+        # PCG (fixed iterations, masked convergence)
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = precond(r0)
+        p0 = z0
+
+        def cg_step(cg, _):
+            x, r, z, p, rz = cg
+            Ap = Hx(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = rz / jnp.maximum(pAp, 1e-30)
+            x2 = x + alpha * p
+            r2 = r - alpha * Ap
+            z2 = precond(r2)
+            rz2 = jnp.sum(r2 * z2)
+            beta = rz2 / jnp.maximum(rz, 1e-30)
+            p2 = z2 + beta * p
+            return (x2, r2, z2, p2, rz2), None
+
+        rz_init = jnp.sum(r0 * z0)
+        (dx, r_fin, _, _, _), _ = jax.lax.scan(
+            cg_step, (x0, r0, z0, p0, rz_init), None, length=cg_iters
+        )
+
+        new_poses = se3.retract(cur_poses, dx)
+        stats = (
+            F.chi2(g, new_poses),
+            jnp.linalg.norm(r_fin),
+            jnp.linalg.norm(dx),
+        )
+        return new_poses, stats
+
+    chi2_0 = F.chi2(g, poses)
+    final_poses, (chi2s, cg_res, dnorms) = jax.lax.scan(
+        gn_step, poses, None, length=gn_iters
+    )
+    return SolveResult(
+        poses=final_poses,
+        chi2_history=jnp.concatenate([chi2_0[None], chi2s]),
+        cg_residuals=cg_res,
+        delta_norms=dnorms,
+    )
