@@ -1,0 +1,101 @@
+"""Benchmark: end-to-end loop-closure serving throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: **keyframe pipeline frames/s** — full per-keyframe work
+(descriptor build + DB insert + retrieval + shifted-distance verification +
+submap ICP + queue/optimize bookkeeping) on synthetic KITTI-scale inputs.
+
+Baseline: the reference (thisparticle/scl_slam) targets real-time operation on
+a 4-core onboard CPU at sensor rate (10 Hz frames; see BASELINE.md — the repo
+publishes no numbers, so sensor-rate real-time = 10 frames/s is the reference
+operating point; `vs_baseline` = ours / 10).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scl_slam_tpu.config import (
+        KeyframeConfig,
+        LoopConfig,
+        OptimizerConfig,
+        ScanContextParams,
+        SlamConfig,
+    )
+    from scl_slam_tpu.geometry import se3
+    from scl_slam_tpu.runtime.mapper import _detect_intra, _ingest
+    from scl_slam_tpu.runtime.state import make_state
+
+    cfg = SlamConfig(
+        keyframe=KeyframeConfig(
+            max_keyframes=1024,
+            points_per_keyframe=4096,
+            raw_points_capacity=65536,  # KITTI scans are ~120k pts; 64k after crop
+        ),
+        loop=LoopConfig(near_keyframes=25, submap_capacity=8192, icp_iterations=20),
+        optimizer=OptimizerConfig(edge_capacity=2048, gn_iters=6, cg_iters=48),
+        scan_context=ScanContextParams(),
+    )
+
+    state = make_state(cfg)
+    rng = np.random.RandomState(0)
+
+    # synthetic KITTI-scale scans: 64k points, structured
+    def scan(k):
+        n = 65536
+        theta = rng.uniform(-np.pi, np.pi, n)
+        r = rng.uniform(2, 75, n)
+        z = np.sin(theta * 3 + k * 0.1) * 2 + rng.normal(0, 0.4, n) - 1.0
+        return np.stack(
+            [r * np.cos(theta), r * np.sin(theta), z], -1
+        ).astype(np.float32)
+
+    mask = jnp.ones(65536, bool)
+
+    def frame_step(state, xyz, k):
+        pose = se3.Pose(jnp.eye(3), jnp.array([1.0, 0.0, 0.0]) * k)
+        state, wire = _ingest(
+            state, jnp.array(0), pose, xyz, mask, jnp.array(0.0, jnp.float32), cfg
+        )
+        state, ok, match, fit = _detect_intra(state, jnp.array(0), cfg)
+        return state, (ok, fit)
+
+    # warm up (compile) with a few frames
+    xs = [jnp.asarray(scan(k)) for k in range(8)]
+    for k in range(3):
+        state, out = frame_step(state, xs[k], float(k))
+    jax.block_until_ready(state.counts)
+
+    # steady-state timing
+    n_timed = 30
+    t0 = time.perf_counter()
+    for k in range(n_timed):
+        state, out = frame_step(state, xs[3 + (k % 5)], 3.0 + k)
+    jax.block_until_ready(state.counts)
+    dt = time.perf_counter() - t0
+    fps = n_timed / dt
+
+    baseline_fps = 10.0  # reference operating point: sensor-rate on 4-core CPU
+    print(
+        json.dumps(
+            {
+                "metric": "keyframe_pipeline_frames_per_s",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Typed configuration mirroring the reference's parameter surface.
+
+The reference reads ~30 parameters from the ROS parameter server at
+construction (``paramsServer``, reference ``include/distributedMapping.h:104-205``;
+YAML defaults in ``config/dlc_fast_lio_velodyne.yaml:1-38``). Here the same
+surface is a frozen dataclass tree, loadable from YAML/dict, validated at
+construction (the reference calls ``ros::shutdown()`` on invalid values,
+``distributedMapping.h:111,120,142``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+
+class LidarType(str, Enum):
+    """reference ``include/distributedMapping.h:98,130-143``"""
+
+    VELODYNE = "velodyne"
+    LIVOX = "livox"
+
+
+class DescriptorType(str, Enum):
+    """reference ``include/distributedMapping.h:99,156-182``"""
+
+    SCAN_CONTEXT = "scan_context"
+    LIDAR_IRIS = "lidar_iris"
+    M2DP = "m2dp"
+    GRSD = "grsd"
+    FPFH = "fpfh"
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe gating + storage capacities."""
+
+    # reference surroundingkeyframeAddingDistThreshold /
+    # surroundingkeyframeAddingAngleThreshold (distributedMapping.h:195-196,772-779)
+    distance_threshold: float = 1.0      # meters
+    angle_threshold: float = 0.2         # radians
+    max_keyframes: int = 4096            # device DB capacity (static shape)
+    points_per_keyframe: int = 4096      # per-cloud capacity after downsample
+    raw_points_capacity: int = 65536     # incoming scan capacity (descriptors
+    #                                      are built from the raw scan; only
+    #                                      storage is downsampled)
+    descript_leaf_size: float = 0.2      # descriptor downsample (config yaml)
+    map_leaf_size: float = 0.4           # global map publish leaf (:1646)
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop-closure detection + verification thresholds."""
+
+    # detection (descriptor-family thresholds live in their own configs)
+    intra_enabled: bool = True
+    inter_enabled: bool = True
+    # ICP verify (reference distributedMapping.h:192,1108-1126)
+    history_fitness_score: float = 0.3
+    icp_iterations: int = 30
+    icp_max_corr_dist: float = 10.0
+    # submap assembly: +-25 keyframes (reference :1163-1186)
+    near_keyframes: int = 25
+    submap_capacity: int = 8192
+    # RANSAC verify, inter-robot (reference :187-189, 1210-1243)
+    ransac_max_iter: int = 256           # batched hypotheses (ref: sequential 1000-2000)
+    ransac_outlier_threshold: float = 0.25
+    ransac_inlier_ratio: float = 0.45
+    # queue capacity for pending verified loops
+    queue_capacity: int = 256
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Pose-graph optimization (reference distributedMapping.h:146-153,520-535)."""
+
+    gn_iters: int = 8
+    cg_iters: int = 64
+    damping: float = 1e-6
+    huber_delta: float = 1e9             # disabled by default (ref has no robust kernel)
+    # noise models as sigmas (rot x3, trans x3); reference expresses these as
+    # GTSAM variances: odometry [1e-6 x3, 1e-4 x3], prior
+    # [1e-2, 1e-2, pi^2, 1e8 x3] (distributedMapping.h:516-517)
+    odometry_sigmas: tuple = (1e-3, 1e-3, 1e-3, 1e-2, 1e-2, 1e-2)
+    prior_sigmas: tuple = (0.1, 0.1, 3.14159, 1e4, 1e4, 1e4)
+    # loop factor variance = icp fitness * loop_noise_scale (ref uses the raw
+    # fitness as the variance, :1146-1159; the scale compensates datasets
+    # whose fitness floor is dominated by sampling density)
+    loop_noise_scale: float = 1.0
+    mapping_process_interval: float = 0.3  # seconds between opts (ref :148,1464)
+    edge_capacity: int = 8192
+    prior_capacity: int = 8
+    # distributed (multi-robot) solve
+    max_outer_rounds: int = 10           # ref maxIterationTime analog (:527)
+    rotation_change_threshold: float = 0.1  # ref rotThres (:530)
+    pose_change_threshold: float = 0.1   # ref poseThres (:531)
+    gamma: float = 1.0                   # over-relaxation (:529)
+    use_pcm: bool = False                # ref usePCM default off (:533)
+    pcm_threshold: float = 0.75          # (:533)
+
+
+@dataclass(frozen=True)
+class ScanContextParams:
+    """reference include/descriptor.h:1307-1330"""
+
+    num_rings: int = 20
+    num_sectors: int = 60
+    max_radius: float = 80.0
+    lidar_height: float = 1.65
+    num_candidates: int = 10
+    exclude_recent: int = 100
+    distance_threshold: float = 0.14
+
+
+@dataclass(frozen=True)
+class LidarIrisParams:
+    """reference include/descriptor.h:472-509"""
+
+    rows: int = 80
+    cols: int = 360
+    n_scan: int = 64
+    distance_threshold: float = 0.32
+    exclude_recent: int = 30
+    num_candidates: int = 10
+    nscale: int = 4
+    min_wave_length: int = 18
+    mult: float = 1.6
+    sigma_on_f: float = 0.75
+    match_mode: int = 2
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level config — the ``paramsServer`` surface."""
+
+    number_of_robots: int = 1
+    robot_id: int = 0
+    robot_name: str = "a"                # namespace letter 'a'.. (ref :107-114)
+    lidar_type: LidarType = LidarType.VELODYNE
+    n_scan: int = 64                     # beam count (ref :137-143)
+    descriptor_type: DescriptorType = DescriptorType.SCAN_CONTEXT
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    scan_context: ScanContextParams = field(default_factory=ScanContextParams)
+    lidar_iris: LidarIrisParams = field(default_factory=LidarIrisParams)
+    # observability
+    global_map_publish_interval: float = 10.0  # ref mapPublishInterval
+    save_directory: str = "/tmp/scl_slam_tpu"
+
+    def __post_init__(self):
+        if not (1 <= self.number_of_robots <= 26):
+            raise ValueError(f"number_of_robots must be 1..26, got {self.number_of_robots}")
+        if not (0 <= self.robot_id < self.number_of_robots):
+            raise ValueError(
+                f"robot_id {self.robot_id} out of range for {self.number_of_robots} robots"
+            )
+        if len(self.robot_name) != 1 or not self.robot_name.isalpha():
+            raise ValueError(f"robot_name must be a single letter, got {self.robot_name!r}")
+
+
+def _from_dict(cls, data: dict[str, Any]):
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in data.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        ftype = fields[k].type
+        if isinstance(v, dict):
+            sub = {
+                "keyframe": KeyframeConfig,
+                "loop": LoopConfig,
+                "optimizer": OptimizerConfig,
+                "scan_context": ScanContextParams,
+                "lidar_iris": LidarIrisParams,
+            }[k]
+            kwargs[k] = _from_dict(sub, v)
+        elif k == "lidar_type":
+            kwargs[k] = LidarType(v)
+        elif k == "descriptor_type":
+            kwargs[k] = DescriptorType(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_config(source: str | dict[str, Any]) -> SlamConfig:
+    """Load from a YAML file path or a nested dict."""
+    if isinstance(source, str):
+        import yaml
+
+        with open(source) as f:
+            source = yaml.safe_load(f) or {}
+    return _from_dict(SlamConfig, source)

@@ -1,0 +1,217 @@
+"""GRSD and FPFH global descriptors — TPU-native.
+
+Capability parity with the reference's minor descriptor families:
+
+- ``grsd_descriptor`` (``include/descriptor.h:38-196``): PCL normal
+  estimation + 21-bin Global Radius-based Surface Descriptor; inter-robot
+  detection = 1-NN with L2 threshold 160 (``:116-167``); intra detection is
+  an empty stub upstream (``:111-114``) — implemented properly here.
+- ``fpfh_descriptor`` (``include/descriptor.h:253-460``): single-point SPFH
+  signature at the cloud centroid, 3 x 11 bins = 33-D (``:308-365``);
+  inter detection 1-NN with L2 threshold 100 (``:381-432``).
+
+TPU-first: per-point neighborhoods via tiled brute-force k-NN (matmul-shaped
+distance blocks), local surface classification from covariance eigenvalues,
+everything vmapped; no KD-trees, no sequential point loops.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pointcloud import Cloud, estimate_normals
+from . import base
+
+
+# ---------------------------------------------------------------------------
+# GRSD
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GRSDConfig:
+    num_bins: int = 21        # reference GRSD histogram size
+    knn: int = 16
+    num_candidates: int = 10
+    exclude_recent: int = 30
+    distance_threshold: float = 160.0   # reference L2 gate (descriptor.h:158)
+
+
+class GRSD(NamedTuple):
+    descriptor: jax.Array    # [21]
+
+
+def _surface_classes(cloud: Cloud, k: int):
+    """Per-point surface-type class from neighborhood covariance eigenvalues.
+
+    The radius-based surface classes of GRSD (plane / cylinder / sphere /
+    rim / noise) map onto eigenvalue-ratio regimes of the local covariance —
+    the TPU-friendly equivalent of PCL's per-voxel min/max radius estimate.
+    Returns int class [N] in 0..4 and validity [N].
+    """
+    xyz = jnp.where(cloud.mask[:, None], cloud.xyz, 1e6)
+    n = cloud.capacity
+
+    def block(q):
+        d2 = (
+            jnp.sum(q * q, -1, keepdims=True) - 2.0 * q @ xyz.T + jnp.sum(xyz * xyz, -1)
+        )
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx
+
+    idx = jax.lax.map(block, xyz.reshape(max(1, n // 512), -1, 3)).reshape(n, k)
+    nbrs = xyz[idx]
+    mean = jnp.mean(nbrs, axis=1, keepdims=True)
+    c = nbrs - mean
+    cov = jnp.einsum("nki,nkj->nij", c, c) / k
+    ev = jnp.linalg.eigvalsh(cov)              # ascending [N, 3]
+    e0, e1, e2 = ev[:, 0], ev[:, 1], ev[:, 2]
+    s = jnp.maximum(e2, 1e-9)
+    r0, r1 = e0 / s, e1 / s
+    # class regimes: 0 plane (r0,r1 tiny,big-gap), 1 cylinder (r0 tiny only),
+    # 2 sphere (all similar), 3 rim/edge (intermediate), 4 noise
+    plane = (r0 < 0.01) & (r1 > 0.3)
+    cyl = (r0 < 0.01) & ~plane
+    sph = r0 > 0.3
+    rim = (~plane) & (~cyl) & (~sph) & (r0 < 0.1)
+    cls = jnp.select(
+        [plane, cyl, sph, rim], [0, 1, 2, 3], default=4
+    )
+    return cls, cloud.mask
+
+
+def grsd_make(cloud: Cloud, cfg: GRSDConfig) -> GRSD:
+    """21-bin histogram over unordered surface-class pairs among neighbors:
+
+    C(5+1,2)=15 pair bins + 5 singleton bins + 1 total = 21 (the GRSD
+    transition-histogram layout), L1-normalized then scaled — comparable
+    under the reference's absolute L2 gates."""
+    cls, valid = _surface_classes(cloud, cfg.knn)
+    # histogram of classes
+    onehot = jax.nn.one_hot(cls, 5) * valid[:, None]
+    counts = jnp.sum(onehot, axis=0)           # [5]
+    total = jnp.maximum(jnp.sum(counts), 1.0)
+    frac = counts / total
+    # pairwise co-occurrence (outer product) upper triangle -> 15 entries
+    pair = jnp.outer(frac, frac)
+    iu = jnp.triu_indices(5)
+    pair_feats = pair[iu]                       # [15]
+    d = jnp.concatenate([frac, pair_feats, jnp.array([1.0])]) * 100.0
+    return GRSD(d)
+
+
+# ---------------------------------------------------------------------------
+# FPFH (single-point SPFH at centroid, as the reference uses it)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FPFHConfig:
+    num_bins: int = 11        # bins per angle (3 angles -> 33-D)
+    knn: int = 64             # neighborhood of the centroid point
+    num_candidates: int = 10
+    exclude_recent: int = 30
+    distance_threshold: float = 100.0   # reference L2 gate (descriptor.h:397)
+
+
+class FPFH(NamedTuple):
+    descriptor: jax.Array    # [33]
+
+
+def fpfh_make(cloud: Cloud, cfg: FPFHConfig) -> FPFH:
+    """SPFH of the point nearest the centroid (reference computes
+
+    ``computePointSPFHSignature`` at the centroid index, ``descriptor.h:341-353``):
+    Darboux-frame angle histograms (alpha, phi, theta) between the center
+    normal and each neighbor normal."""
+    normals = estimate_normals(cloud, k=16)
+    xyz = jnp.where(cloud.mask[:, None], cloud.xyz, 1e6)
+    w = cloud.mask.astype(xyz.dtype)
+    centroid = jnp.sum(xyz * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    center_idx = jnp.argmin(jnp.sum((xyz - centroid) ** 2, axis=-1))
+    p_c = xyz[center_idx]
+    n_c = normals[center_idx]
+
+    d2 = jnp.sum((xyz - p_c) ** 2, axis=-1)
+    _, nbr = jax.lax.top_k(-d2, cfg.knn)
+    p_k = xyz[nbr]
+    n_k = normals[nbr]
+
+    # Darboux frame at the centroid point
+    diff = p_k - p_c
+    dist = jnp.maximum(jnp.linalg.norm(diff, axis=-1), 1e-9)
+    u = n_c
+    v = jnp.cross(diff / dist[:, None], u[None, :])
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    wv = jnp.cross(u[None, :], v)
+    alpha = jnp.einsum("kj,kj->k", v, n_k)                    # in [-1, 1]
+    phi = jnp.einsum("j,kj->k", u, diff / dist[:, None])      # in [-1, 1]
+    theta = jnp.arctan2(
+        jnp.einsum("kj,kj->k", wv, n_k), jnp.einsum("j,kj->k", u, n_k)
+    )  # in [-pi, pi]
+
+    valid = cloud.mask[nbr] & (nbr != center_idx)
+
+    def hist(vals, lo, hi):
+        b = jnp.clip(
+            ((vals - lo) / (hi - lo) * cfg.num_bins).astype(jnp.int32),
+            0, cfg.num_bins - 1,
+        )
+        return jnp.zeros((cfg.num_bins,), xyz.dtype).at[b].add(
+            valid.astype(xyz.dtype)
+        )
+
+    h = jnp.concatenate(
+        [hist(alpha, -1.0, 1.0), hist(phi, -1.0, 1.0), hist(theta, -jnp.pi, jnp.pi)]
+    )
+    # percentage normalization (PCL convention: bins sum to 100 per angle)
+    h = h / jnp.maximum(jnp.sum(valid), 1) * 100.0
+    return FPFH(h)
+
+
+# ---------------------------------------------------------------------------
+# shared DB plumbing (both are plain-vector descriptors)
+# ---------------------------------------------------------------------------
+
+
+def make_db(capacity: int, dim: int) -> base.DescriptorDB:
+    return base.make_db(capacity, (dim,), dim)
+
+
+def insert(db: base.DescriptorDB, desc: jax.Array, robot, index) -> base.DescriptorDB:
+    return base.db_insert(db, desc, desc, robot, index)
+
+
+@partial(jax.jit, static_argnames=("num_candidates", "exclude_recent", "threshold", "mode"))
+def vector_query(
+    db: base.DescriptorDB,
+    desc: jax.Array,
+    query_robot: jax.Array,
+    query_index: jax.Array,
+    num_candidates: int,
+    exclude_recent: int,
+    threshold: float,
+    mode: str = "inter",
+) -> base.Match:
+    """1-NN detection with an absolute L2 gate (reference nanoflann searches,
+
+    ``descriptor.h:116-167, 381-432``)."""
+    mask = base.candidate_mask(db, query_robot, query_index, mode, exclude_recent)
+    d2, pos = base.topk_by_key(db.keys, desc, mask, num_candidates)
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    dist = jnp.where(mask[pos], dist, jnp.inf)
+    best = jnp.argmin(dist)
+    best_pos = pos[best]
+    found = dist[best] < threshold
+    return base.Match(
+        found=found,
+        db_pos=jnp.where(found, best_pos, -1),
+        robot=jnp.where(found, db.robot[best_pos], -1),
+        index=jnp.where(found, db.index[best_pos], -1),
+        distance=dist[best],
+        yaw=jnp.zeros(()),
+    )

@@ -88,8 +88,16 @@ def voxel_downsample(cloud: Cloud, leaf: float, out_capacity: int | None = None)
     )
     is_rep = is_rep & (idxs == first_idx[gid])
 
-    # compact representatives to the front
-    order2 = jnp.argsort(~is_rep, stable=True)
+    # Compact representatives to the front. When representatives exceed
+    # out_capacity, truncation must be spatially UNBIASED — input order or
+    # voxel order would drop whole regions (scan order is azimuthal; voxel
+    # order is x-major). Order reps by a voxel-coordinate hash instead:
+    # truncation then keeps a uniform pseudo-random subset of voxels.
+    h = (
+        vox[:, 0] * 73856093 ^ vox[:, 1] * 19349663 ^ vox[:, 2] * 83492791
+    ).astype(jnp.uint32) >> 1  # keep positive as int32
+    sort_key = jnp.where(is_rep, h.astype(jnp.int32), jnp.int32(2**31 - 1))
+    order2 = jnp.argsort(sort_key, stable=True)
     take = order2[:out_capacity]
     new_mask = is_rep[take]
     new_xyz = jnp.where(new_mask[:, None], cloud.xyz[take], PAD_VALUE)

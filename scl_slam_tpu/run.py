@@ -1,0 +1,123 @@
+"""CLI pipeline runner — the launch-system replacement.
+
+The reference is driven by roslaunch + rosbag replay
+(``launch/single_ugv.launch``, ``launch/test_distributed_loop.launch``); here
+one command runs the full pipeline on a KITTI sequence or the synthetic
+world, exports TUM/KITTI trajectories, and reports ATE when ground truth is
+available:
+
+    python -m scl_slam_tpu.run --dataset synthetic --frames 120
+    python -m scl_slam_tpu.run --dataset kitti --root /data/kitti --sequence 00
+    python -m scl_slam_tpu.run --config my_config.yaml ...
+
+Multi-robot (N namespaced mappers fed by index-split sequences — the analog
+of the reference's per-robot bag splits) lives in ``scl_slam_tpu.run_multi``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="scl_slam_tpu single-robot pipeline")
+    p.add_argument("--dataset", choices=["synthetic", "kitti"], default="synthetic")
+    p.add_argument("--root", help="KITTI odometry root (contains sequences/, poses/)")
+    p.add_argument("--sequence", default="00")
+    p.add_argument("--frames", type=int, default=120, help="max frames to process")
+    p.add_argument("--config", help="YAML config path")
+    p.add_argument("--output", default="/tmp/scl_slam_tpu_run")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--odom-drift", type=float, default=0.02,
+                   help="synthetic: forward drift (m) injected per frame")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from .config import SlamConfig, load_config
+    from .geometry import se3
+    from .io import kitti as kio
+    from .io import trajectory as tio
+    from .runtime import Mapper
+
+    cfg = load_config(args.config) if args.config else SlamConfig()
+    mapper = Mapper(cfg)
+
+    if args.dataset == "kitti":
+        if not args.root:
+            print("--root required for kitti", file=sys.stderr)
+            return 2
+        seq = kio.KittiSequence(args.root, args.sequence)
+        n = min(len(seq), args.frames)
+        get_scan = seq.scan
+        get_odom = seq.gt_pose_velo  # stand-in odometry (front ends live upstream)
+        gt_of = seq.gt_pose_velo
+    else:
+        world = kio.SyntheticWorld(seed=args.seed)
+        gt = kio.loop_trajectory(n_frames=args.frames, radius=70.0)
+        n = args.frames
+        drift = np.eye(4)
+        drift[0, 3] = args.odom_drift
+        odom_accum = [gt[0]]
+        for k in range(1, n):
+            inc = np.linalg.inv(gt[k - 1]) @ gt[k]
+            odom_accum.append(odom_accum[-1] @ inc @ drift)
+        get_scan = lambda k: world.scan_at(gt[k], max_points=16384, seed=k)
+        get_odom = lambda k: odom_accum[k]
+        gt_of = lambda k: gt[k]
+
+    t_start = time.perf_counter()
+    n_loops = 0
+    kf_frames = []
+    for k in range(n):
+        T = get_odom(k)
+        if T is None:
+            print("no odometry available (kitti gt missing)", file=sys.stderr)
+            return 2
+        pose = se3.Pose(
+            jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
+        )
+        wire = mapper.add_frame(pose, get_scan(k), stamp=0.1 * k)
+        if wire is not None:
+            kf_frames.append(k)
+            info = mapper.spin_once()
+            if info.get("loop"):
+                n_loops += 1
+    mapper.optimize()
+    wall = time.perf_counter() - t_start
+
+    mapper.save_trajectories(args.output)
+    est = mapper.trajectory()
+    report = {
+        "frames": n,
+        "keyframes": len(est),
+        "loops_closed": n_loops,
+        "wall_s": round(wall, 2),
+        "frames_per_s": round(n / wall, 2),
+        "output": args.output,
+    }
+    if gt_of(0) is not None:
+        gt_poses = np.stack([gt_of(k) for k in kf_frames])
+        report["ate_rmse_m"] = round(tio.ate_rmse(est, gt_poses), 4)
+        dead = np.stack([np.asarray(get_odom(k)) for k in kf_frames])
+        report["ate_rmse_odom_only_m"] = round(tio.ate_rmse(dead, gt_poses), 4)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,131 @@
+"""Multi-robot pipeline CLI — the ``test_distributed_loop.launch`` analog.
+
+Splits one sequence (synthetic or KITTI) into N per-robot index ranges —
+exactly how the reference simulates multi-robot on one machine with
+namespaced rosbag replays (``launch/test_distributed_loop.launch:34-58``) —
+runs N mappers over the in-process bus, and reports joint ATE.
+
+    python -m scl_slam_tpu.run_multi --robots 2 --frames 120
+    python -m scl_slam_tpu.run_multi --robots 3 --dataset kitti --root ... --sequence 05
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="scl_slam_tpu multi-robot pipeline")
+    p.add_argument("--robots", type=int, default=2)
+    p.add_argument("--dataset", choices=["synthetic", "kitti"], default="synthetic")
+    p.add_argument("--root")
+    p.add_argument("--sequence", default="05")
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--overlap", type=int, default=10,
+                   help="frames of overlap between adjacent robot segments")
+    p.add_argument("--output", default="/tmp/scl_slam_tpu_multi")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from .config import SlamConfig
+    from .geometry import se3
+    from .io import kitti as kio
+    from .io import trajectory as tio
+    from .runtime import Mapper
+    from .runtime.transport import LocalBus
+
+    R = args.robots
+
+    if args.dataset == "kitti":
+        if not args.root:
+            print("--root required", file=sys.stderr)
+            return 2
+        seq = kio.KittiSequence(args.root, args.sequence)
+        n = min(len(seq), args.frames)
+        get_scan = seq.scan
+        get_pose = seq.gt_pose_velo
+    else:
+        world = kio.SyntheticWorld(seed=1)
+        gt = kio.loop_trajectory(n_frames=args.frames, radius=70.0)
+        n = args.frames
+        get_scan = lambda k: world.scan_at(gt[k], max_points=16384, seed=k)
+        get_pose = lambda k: gt[k]
+
+    # index split with overlap (the reference's bag splits overlap in space)
+    seg = n // R
+    splits = [
+        list(range(max(0, r * seg - args.overlap), min(n, (r + 1) * seg)))
+        for r in range(R)
+    ]
+
+    bus = LocalBus()
+    mappers = []
+    for r in range(R):
+        cfg = SlamConfig(number_of_robots=R, robot_id=r, robot_name=chr(ord("a") + r))
+        m = Mapper(cfg)
+        m.attach_bus(bus)
+        mappers.append(m)
+
+    t0 = time.perf_counter()
+    inter_loops = intra_loops = 0
+    for step in range(max(len(s) for s in splits)):
+        for r in range(R):
+            if step >= len(splits[r]):
+                continue
+            k = splits[r][step]
+            T = get_pose(k)
+            pose = se3.Pose(
+                jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
+            )
+            wire = mappers[r].add_frame(pose, get_scan(k), stamp=0.1 * k)
+            if wire is not None:
+                mappers[r].broadcast_latest(wire)
+                info = mappers[r].spin_once()
+                if info.get("loop"):
+                    intra_loops += 1
+                if info.get("inter_loop"):
+                    inter_loops += 1
+    for m in mappers:
+        m.optimize()
+    wall = time.perf_counter() - t0
+
+    mappers[0].save_trajectories(args.output)
+    report = {
+        "robots": R,
+        "frames": n,
+        "intra_loops": intra_loops,
+        "inter_loops": inter_loops,
+        "wall_s": round(wall, 2),
+        "frames_per_s": round(n / wall, 2),
+        "output": args.output,
+    }
+    # joint ATE from robot 0's view of everyone
+    ates = {}
+    for r in range(R):
+        est = mappers[0].trajectory(robot=r)
+        if len(est) == 0:
+            continue
+        stamps = mappers[0].keyframe_stamps(robot=r)
+        gt_poses = np.stack(
+            [np.asarray(get_pose(int(round(float(s) / 0.1)))) for s in stamps]
+        )
+        ates[chr(ord("a") + r)] = round(tio.ate_rmse(est, gt_poses), 4)
+    report["ate_rmse_m"] = ates
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,756 @@
+"""The SLAM orchestrator — TPU-native ``distributed_mapping`` equivalent.
+
+Reproduces the reference's runtime surface (reference
+``include/distributedMapping.h:311-1656``):
+
+- keyframe gate + ingestion (``saveFrame`` + ``performDistributedMapping``,
+  ``:668-780``)
+- descriptor make/broadcast + peer ingest (``makeDescriptors`` ``:988-1025``,
+  ``globalDescriptorHandler`` ``:556-648``)
+- intra-robot loop closure: descriptor retrieval -> submap ICP verify
+  (``performIntraLoopClosure`` ``:1070-1160``)
+- inter-robot loop closure: retrieval -> RANSAC+SVD verification
+  (``performInterLoopClosure`` ``:1272-1385``, ``geometricVerificationService``
+  ``:1189-1268``)
+- throttled pose-graph optimization + pose write-back (``gtsamOpt`` ``:782-901``,
+  ``updatePoses`` ``:922-985``)
+- map assembly (``publishGlobalMap`` ``:1621-1655``), trajectory export
+
+Architecture: :class:`Mapper` is a thin host-side shell; all numerics live in
+jitted pure functions over :class:`MapperState`. The unthrottled busy
+loop-closure thread of the reference (``:1450-1473``) becomes an explicit
+``spin_once`` the driver calls per frame — same work, no spinning.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..descriptors import base as desc_base
+from ..descriptors import scan_context as sc
+from ..geometry import se3
+from ..graph import factors as F
+from ..graph import solver
+from ..ops import pointcloud as pc
+from ..ops import registration as reg
+from .state import LoopQueue, MapperState, make_state, scan_context_config
+
+
+class LoopCandidate(NamedTuple):
+    """Inter-robot candidate needing remote geometric verification."""
+
+    robot_cur: int
+    index_cur: int
+    robot_pre: int
+    index_pre: int
+    cloud_xyz: np.ndarray   # query keyframe cloud in its map frame
+    cloud_mask: np.ndarray
+    yaw_hint: float
+
+
+# ---------------------------------------------------------------------------
+# jitted state transitions
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ingest(
+    state: MapperState,
+    robot: jax.Array,
+    pose: se3.Pose,
+    xyz: jax.Array,
+    mask: jax.Array,
+    stamp: jax.Array,
+    cfg: SlamConfig,
+):
+    """Store keyframe, chain odometry factor, build+insert descriptor.
+
+    ``pose`` is the odometry-frame pose from the front end. The optimized
+    pose estimate for the new keyframe chains the odometry increment onto the
+    last optimized pose (the reference reads back the iSAM2 estimate after
+    adding the between factor, ``distributedMapping.h:722-748``).
+    """
+    K = cfg.keyframe.max_keyframes
+    idx = state.counts[robot]
+    slot = robot * K + idx
+
+    cloud = pc.Cloud(xyz, mask)
+    # stored cloud is downsampled to keyframe capacity; the descriptor is
+    # built from the RAW scan below (max-height binning needs no density
+    # control, and subsampling before binning degrades match distances)
+    small = pc.voxel_downsample(
+        cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
+    )
+
+    # optimized-frame pose for the new keyframe
+    prev_slot = jnp.maximum(slot - 1, robot * K)
+    prev_odom = se3.Pose(state.odom_R[prev_slot], state.odom_t[prev_slot])
+    prev_opt = se3.Pose(state.opt_R[prev_slot], state.opt_t[prev_slot])
+    inc = se3.between(prev_odom, pose)
+    opt_pose_chained = se3.compose(prev_opt, inc)
+    first = idx == 0
+    opt_pose = se3.Pose(
+        jnp.where(first, pose.R, opt_pose_chained.R),
+        jnp.where(first, pose.t, opt_pose_chained.t),
+    )
+
+    # factor graph: prior on first keyframe of own robot, else between factor
+    graph = state.graph
+    odom_si = [1.0 / s for s in cfg.optimizer.odometry_sigmas]
+    prior_si = [1.0 / s for s in cfg.optimizer.prior_sigmas]
+    prior_graph = F.add_prior(graph, slot, pose, prior_si)
+    between_graph = F.add_between(graph, slot - 1, slot, inc, odom_si)
+    graph = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(first, a, b), prior_graph, between_graph
+    )
+
+    # descriptor (Scan Context family; others plug in via the same protocol)
+    sc_cfg = scan_context_config(cfg)
+    descriptor = sc.make(cloud, sc_cfg)
+    desc_db = sc.insert(state.desc_db, descriptor, robot, idx)
+
+    state = state._replace(
+        kf_xyz=state.kf_xyz.at[slot].set(small.xyz),
+        kf_mask=state.kf_mask.at[slot].set(small.mask),
+        odom_R=state.odom_R.at[slot].set(pose.R),
+        odom_t=state.odom_t.at[slot].set(pose.t),
+        opt_R=state.opt_R.at[slot].set(opt_pose.R),
+        opt_t=state.opt_t.at[slot].set(opt_pose.t),
+        stamps=state.stamps.at[slot].set(stamp),
+        counts=state.counts.at[robot].add(1),
+        desc_db=desc_db,
+        graph=graph,
+    )
+    return state, sc.to_wire(descriptor)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ingest_peer(
+    state: MapperState,
+    robot: jax.Array,
+    index: jax.Array,
+    pre_pose: se3.Pose,
+    cur_pose: se3.Pose,
+    wire: jax.Array,
+    stamp: jax.Array,
+    cfg: SlamConfig,
+):
+    """Peer descriptor ingestion (``globalDescriptorHandler``,
+
+    reference ``include/distributedMapping.h:556-648``): extend the peer's
+    pose chain with a between factor from (prePose -> curPose) and store the
+    wire descriptor. The peer's keyframe *cloud* is not transmitted (clouds
+    only move during geometric verification RPCs)."""
+    K = cfg.keyframe.max_keyframes
+    slot = robot * K + index
+
+    inc = se3.between(pre_pose, cur_pose)
+    first = index == 0
+    graph = state.graph
+    odom_si = [1.0 / s for s in cfg.optimizer.odometry_sigmas]
+    prior_si = [1.0 / s for s in cfg.optimizer.prior_sigmas]
+    between_graph = F.add_between(graph, slot - 1, slot, inc, odom_si)
+    # the reference adds no prior for peers (their gauge ties through
+    # inter-robot loops); hold the first peer pose with a weak prior instead
+    # so the joint solve stays well-posed pre-loop
+    prior_graph = F.add_prior(graph, slot, cur_pose, prior_si)
+    graph = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(first, a, b), prior_graph, between_graph
+    )
+
+    sc_cfg = scan_context_config(cfg)
+    descriptor = sc.from_wire(wire, sc_cfg)
+    desc_db = sc.insert(state.desc_db, descriptor, robot, index)
+
+    prev_slot = jnp.maximum(slot - 1, robot * K)
+    prev_opt = se3.Pose(state.opt_R[prev_slot], state.opt_t[prev_slot])
+    prev_odom = se3.Pose(state.odom_R[prev_slot], state.odom_t[prev_slot])
+    chained = se3.compose(prev_opt, se3.between(prev_odom, cur_pose))
+    opt_pose = se3.Pose(
+        jnp.where(first, cur_pose.R, chained.R),
+        jnp.where(first, cur_pose.t, chained.t),
+    )
+    return state._replace(
+        odom_R=state.odom_R.at[slot].set(cur_pose.R),
+        odom_t=state.odom_t.at[slot].set(cur_pose.t),
+        opt_R=state.opt_R.at[slot].set(opt_pose.R),
+        opt_t=state.opt_t.at[slot].set(opt_pose.t),
+        stamps=state.stamps.at[slot].set(stamp),
+        counts=state.counts.at[robot].set(
+            jnp.maximum(state.counts[robot], index + 1)
+        ),
+        desc_db=desc_db,
+        graph=graph,
+    )
+
+
+def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
+    """±near_keyframes submap around a slot, in map frame, downsampled.
+
+    Reference ``loopFindNearKeyframes`` (``distributedMapping.h:1163-1186``).
+    Fixed shapes: gathers 2*near+1 clouds, transforms each by its optimized
+    pose, concatenates, voxel-downsamples to submap capacity.
+    """
+    K = cfg.keyframe.max_keyframes
+    near = cfg.loop.near_keyframes
+    count = state.counts[robot]
+    lo = robot * K
+    offs = jnp.arange(-near, near + 1)
+    slots = jnp.clip(center_slot + offs, lo, lo + jnp.maximum(count - 1, 0))
+    xyz = state.kf_xyz[slots]          # [W, P, 3]
+    mask = state.kf_mask[slots]        # [W, P]
+    poses = se3.Pose(state.opt_R[slots], state.opt_t[slots])
+    world = se3.transform_points(poses, xyz)  # [W, P, 3]
+    flat = world.reshape(-1, 3)
+    flat_mask = mask.reshape(-1)
+    merged = pc.Cloud(
+        jnp.where(flat_mask[:, None], flat, pc.PAD_VALUE), flat_mask
+    )
+    return pc.voxel_downsample(
+        merged, cfg.keyframe.map_leaf_size, cfg.loop.submap_capacity
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
+    """One intra-robot loop-closure attempt for the latest keyframe.
+
+    Reference ``performIntraLoopClosure`` (``distributedMapping.h:1070-1160``):
+    descriptor query -> (here: yaw-initialized) submap ICP -> fitness gate ->
+    loop factor queued. Runs fully on device; returns the updated state and a
+    found flag.
+    """
+    K = cfg.keyframe.max_keyframes
+    sc_cfg = scan_context_config(cfg)
+    idx = state.counts[robot] - 1
+    slot = robot * K + idx
+
+    descriptor = sc.ScanContext(
+        state.desc_db.descriptors[slot],
+        state.desc_db.keys[slot],
+        jnp.mean(state.desc_db.descriptors[slot], axis=0),
+    )
+    match = sc.query(state.desc_db, descriptor, robot, idx, sc_cfg, mode="intra")
+    already = state.loop_target[slot] >= 0
+    attempt = match.found & ~already & (idx >= 0)
+
+    # --- geometric verification (computed unconditionally, masked select;
+    # under jit both branches of a cond with big clouds would be compiled
+    # anyway, and the common case on TPU is batched pipelines) ---
+    match_slot = jnp.where(attempt, match.db_pos, slot)
+    cur_cloud = pc.Cloud(state.kf_xyz[slot], state.kf_mask[slot])
+    cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
+    # yaw-initialized start: rotate current cloud by the SC shift estimate
+    # (helps ICP converge on reverse loops; the SC paper's alignment use)
+    zero = jnp.zeros_like(match.yaw)
+    Ryaw = jnp.stack(
+        [
+            jnp.stack([jnp.cos(match.yaw), -jnp.sin(match.yaw), zero], -1),
+            jnp.stack([jnp.sin(match.yaw), jnp.cos(match.yaw), zero], -1),
+            jnp.stack([zero, zero, jnp.ones_like(match.yaw)], -1),
+        ],
+        -2,
+    )
+    init_pose = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
+    source_world = pc.transform(cur_cloud, init_pose.R, init_pose.t)
+    target = _gather_submap(state, match_slot, robot, cfg)
+    icp_res = reg.icp(
+        source_world,
+        target,
+        max_iters=cfg.loop.icp_iterations,
+        max_corr_dist=cfg.loop.icp_max_corr_dist,
+    )
+    ok = attempt & (icp_res.fitness < cfg.loop.history_fitness_score)
+
+    # corrected current pose and loop factor z = T_pre^-1 ∘ T_cur_corrected
+    # (reference computes (tfICP·tfWrong)^-1·posePre, :1129-1143 — same pose)
+    corrected = se3.compose(icp_res.pose, init_pose)
+    pre_pose = se3.Pose(state.opt_R[match_slot], state.opt_t[match_slot])
+    z = se3.between(pre_pose, corrected)
+
+    q = state.loop_queue
+    qpos = jnp.minimum(q.count, q.i.shape[0] - 1)
+    qok = ok & (q.count < q.i.shape[0])
+    noise = jnp.maximum(icp_res.fitness, 1e-3)
+    new_q = LoopQueue(
+        i=q.i.at[qpos].set(jnp.where(qok, match_slot, q.i[qpos])),
+        j=q.j.at[qpos].set(jnp.where(qok, slot, q.j[qpos])),
+        z_R=q.z_R.at[qpos].set(jnp.where(qok, z.R, q.z_R[qpos])),
+        z_t=q.z_t.at[qpos].set(jnp.where(qok, z.t, q.z_t[qpos])),
+        noise=q.noise.at[qpos].set(jnp.where(qok, noise, q.noise[qpos])),
+        count=q.count + qok.astype(jnp.int32),
+    )
+    state = state._replace(
+        loop_queue=new_q,
+        loop_target=state.loop_target.at[slot].set(
+            jnp.where(qok, match_slot, state.loop_target[slot])
+        ),
+        loop_closed=state.loop_closed | qok,
+    )
+    return state, ok, match, icp_res.fitness
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_inter(state: MapperState, robot: jax.Array, cfg: SlamConfig):
+    """Inter-robot candidate detection (reference ``performInterLoopClosure``
+
+    stage 1, ``distributedMapping.h:1272-1291``): query the global DB in
+    'inter' mode for the latest own keyframe; return the match plus the query
+    keyframe cloud transformed into the map frame (the payload of the
+    verification RPC, ``:1325-1338``)."""
+    K = cfg.keyframe.max_keyframes
+    sc_cfg = scan_context_config(cfg)
+    idx = state.counts[robot] - 1
+    slot = robot * K + idx
+    descriptor = sc.ScanContext(
+        state.desc_db.descriptors[slot],
+        state.desc_db.keys[slot],
+        jnp.mean(state.desc_db.descriptors[slot], axis=0),
+    )
+    match = sc.query(state.desc_db, descriptor, robot, idx, sc_cfg, mode="inter")
+    already = state.loop_target[slot] >= 0
+    found = match.found & ~already
+    cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
+    cloud = pc.Cloud(state.kf_xyz[slot], state.kf_mask[slot])
+    world = pc.transform(cloud, cur_pose.R, cur_pose.t)
+    return found, match, world.xyz, world.mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _verify_ransac(
+    state: MapperState,
+    cloud_xyz: jax.Array,
+    cloud_mask: jax.Array,
+    robot_cur: jax.Array,
+    index_cur: jax.Array,
+    robot_pre: jax.Array,
+    index_pre: jax.Array,
+    key: jax.Array,
+    cfg: SlamConfig,
+):
+    """Server side of geometric verification (reference
+
+    ``geometricVerificationService``, ``distributedMapping.h:1189-1268``):
+    RANSAC+SVD of the received cloud against the local submap around
+    (robot_pre, index_pre). The requester's pose estimate ("tfWrong") is our
+    mirrored copy of its trajectory (descriptor-stream ingestion keeps every
+    robot's chain locally, ``:571-587``). Returns
+    (success, z = T_pre^-1 * T_cur_corrected, inlier_ratio)."""
+    K = cfg.keyframe.max_keyframes
+    pre_slot = robot_pre * K + index_pre
+    cur_slot = robot_cur * K + index_cur
+
+    submap = _gather_submap(state, pre_slot, robot_pre, cfg)
+    source = pc.Cloud(cloud_xyz, cloud_mask)
+    res = reg.ransac_align(
+        source,
+        submap,
+        key,
+        num_hypotheses=cfg.loop.ransac_max_iter,
+        inlier_thresh=cfg.loop.ransac_outlier_threshold,
+        min_inlier_ratio=cfg.loop.ransac_inlier_ratio,
+    )
+    # corrected requester pose: alignment transform composed onto its mirror
+    t_wrong = se3.Pose(state.opt_R[cur_slot], state.opt_t[cur_slot])
+    corrected = se3.compose(res.pose, t_wrong)
+    pre_pose = se3.Pose(state.opt_R[pre_slot], state.opt_t[pre_slot])
+    z = se3.between(pre_pose, corrected)
+    return res.success, z, res.inlier_ratio
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _queue_loop(
+    state: MapperState,
+    i_slot: jax.Array,
+    j_slot: jax.Array,
+    z: se3.Pose,
+    noise: jax.Array,
+    cfg: SlamConfig,
+):
+    """Append a verified loop factor (canonical order: lower slot first,
+
+    reference ``distributedMapping.h:1359-1371``)."""
+    swap = i_slot > j_slot
+    a = jnp.where(swap, j_slot, i_slot)
+    b = jnp.where(swap, i_slot, j_slot)
+    z_inv = se3.inverse(z)
+    zc = se3.Pose(
+        jnp.where(swap, z_inv.R, z.R), jnp.where(swap, z_inv.t, z.t)
+    )
+    q = state.loop_queue
+    qpos = jnp.minimum(q.count, q.i.shape[0] - 1)
+    qok = q.count < q.i.shape[0]
+    new_q = LoopQueue(
+        i=q.i.at[qpos].set(jnp.where(qok, a, q.i[qpos])),
+        j=q.j.at[qpos].set(jnp.where(qok, b, q.j[qpos])),
+        z_R=q.z_R.at[qpos].set(jnp.where(qok, zc.R, q.z_R[qpos])),
+        z_t=q.z_t.at[qpos].set(jnp.where(qok, zc.t, q.z_t[qpos])),
+        noise=q.noise.at[qpos].set(jnp.where(qok, noise, q.noise[qpos])),
+        count=q.count + qok.astype(jnp.int32),
+    )
+    return state._replace(
+        loop_queue=new_q,
+        loop_target=state.loop_target.at[b].set(
+            jnp.where(qok, a, state.loop_target[b])
+        ),
+        loop_closed=state.loop_closed | qok,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
+    """Move queued loops into the factor graph, then solve.
+
+    Reference ``gtsamOpt`` (``distributedMapping.h:782-901``) + ``updatePoses``
+    (``:922-985``): loop factors get diagonal noise scaled by ICP fitness.
+    """
+    q = state.loop_queue
+    graph = state.graph
+
+    def add_one(k, g):
+        valid = k < q.count
+        # reference semantics: loop noise is a VARIANCE equal to the ICP
+        # fitness (distributedMapping.h:1146-1159), scaled by config
+        var = jnp.maximum(q.noise[k] * cfg.optimizer.loop_noise_scale, 1e-6)
+        sq = 1.0 / jnp.sqrt(var)
+        sqrt_info = jnp.full((6,), sq)
+        g2 = F.add_between(
+            g, q.i[k], q.j[k], se3.Pose(q.z_R[k], q.z_t[k]), sqrt_info
+        )
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, b, a), g, g2
+        )
+
+    graph = jax.lax.fori_loop(0, q.i.shape[0], add_one, graph)
+
+    result = solver.solve(
+        graph,
+        state.opt_poses(),
+        gn_iters=cfg.optimizer.gn_iters,
+        cg_iters=cfg.optimizer.cg_iters,
+        damping=cfg.optimizer.damping,
+        huber_delta=cfg.optimizer.huber_delta,
+    )
+    state = state._replace(
+        graph=graph,
+        opt_R=result.poses.R,
+        opt_t=result.poses.t,
+        loop_queue=q._replace(count=jnp.zeros((), jnp.int32)),
+        loop_closed=jnp.array(False),
+    )
+    return state, result.chi2_history
+
+
+# ---------------------------------------------------------------------------
+# host-side shell
+# ---------------------------------------------------------------------------
+
+
+class Mapper:
+    """Host-side driver for one robot's SLAM session.
+
+    Thin wrapper: holds a :class:`MapperState` pytree, applies jitted
+    transitions, implements the host-only logic (keyframe gate scalar check,
+    throttling, export).
+    """
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.state = make_state(cfg)
+        self.robot = cfg.robot_id
+        self._last_kf_pose: se3.Pose | None = None
+        self._frames_seen = 0
+        self._keyframes = 0
+        self._bus = None
+        self._verify_key = jax.random.PRNGKey(cfg.robot_id + 1)
+
+    # -- keyframe gate (reference saveFrame, distributedMapping.h:755-780) --
+    def should_add_keyframe(self, pose: se3.Pose) -> bool:
+        if self._last_kf_pose is None:
+            return True
+        d = se3.between(self._last_kf_pose, pose)
+        dist = float(jnp.linalg.norm(d.t))
+        ang = float(jnp.linalg.norm(se3.log(d)[:3]))
+        return (
+            dist >= self.cfg.keyframe.distance_threshold
+            or ang >= self.cfg.keyframe.angle_threshold
+        )
+
+    def add_frame(
+        self, pose: se3.Pose, xyz: np.ndarray, stamp: float = 0.0
+    ) -> np.ndarray | None:
+        """Process one odometry frame. Returns the wire descriptor when the
+
+        frame became a keyframe (for broadcast to peers), else None."""
+        self._frames_seen += 1
+        if not self.should_add_keyframe(pose):
+            return None
+        self._last_kf_pose = pose
+        cloud = pc.from_points(xyz, self.cfg.keyframe.raw_points_capacity)
+        self.state, wire = _ingest(
+            self.state,
+            jnp.array(self.robot),
+            pose,
+            cloud.xyz,
+            cloud.mask,
+            jnp.array(stamp, jnp.float32),
+            self.cfg,
+        )
+        self._keyframes += 1
+        return np.asarray(wire)
+
+    def ingest_peer_descriptor(
+        self,
+        robot: int,
+        index: int,
+        pre_pose: se3.Pose,
+        cur_pose: se3.Pose,
+        wire: np.ndarray,
+        stamp: float = 0.0,
+    ) -> bool:
+        """In-order peer descriptor ingestion. Returns False if dropped
+
+        (out-of-order, reference ``distributedMapping.h:558-563``)."""
+        expected = int(self.state.counts[robot])
+        if index != expected:
+            return False
+        self.state = _ingest_peer(
+            self.state,
+            jnp.array(robot),
+            jnp.array(index),
+            pre_pose,
+            cur_pose,
+            jnp.asarray(wire),
+            jnp.array(stamp, jnp.float32),
+            self.cfg,
+        )
+        return True
+
+    def detect_intra_loop(self) -> dict | None:
+        """Try closing a loop on the latest own keyframe."""
+        if not self.cfg.loop.intra_enabled or self._keyframes < 2:
+            return None
+        # nothing can match while every DB entry is inside the recent-
+        # exclusion window — skip the device round-trip entirely
+        if self._keyframes <= self.cfg.scan_context.exclude_recent + 1:
+            return None
+        self.state, ok, match, fitness = _detect_intra(
+            self.state, jnp.array(self.robot), self.cfg
+        )
+        if bool(ok):
+            return {
+                "matched_index": int(match.index),
+                "distance": float(match.distance),
+                "fitness": float(fitness),
+                "yaw": float(match.yaw),
+            }
+        return None
+
+    def optimize(self) -> np.ndarray:
+        """Drain the loop queue and run the pose-graph solve."""
+        self.state, chi2_hist = _drain_queue_and_optimize(self.state, self.cfg)
+        return np.asarray(chi2_hist)
+
+    # -- inter-robot loop closure (reference performInterLoopClosure /
+    # geometricVerificationService, distributedMapping.h:1189-1385) --
+    def attach_bus(self, bus) -> None:
+        """Wire this mapper to a transport bus (LocalBus or TcpBus)."""
+        self._bus = bus
+        bus.register(self.robot, self._on_peer_descriptor, self.serve_verification)
+
+    def _on_peer_descriptor(self, msg) -> None:
+        pre = se3.Pose(
+            jnp.asarray(msg.pre_pose[:3, :3], jnp.float32),
+            jnp.asarray(msg.pre_pose[:3, 3], jnp.float32),
+        )
+        cur = se3.Pose(
+            jnp.asarray(msg.cur_pose[:3, :3], jnp.float32),
+            jnp.asarray(msg.cur_pose[:3, 3], jnp.float32),
+        )
+        self.ingest_peer_descriptor(
+            msg.robot, msg.index, pre, cur, msg.values, msg.stamp
+        )
+
+    def broadcast_latest(self, wire: np.ndarray, stamp: float = 0.0) -> None:
+        """Publish the latest keyframe's descriptor to peers (reference
+
+        ``makeDescriptors`` publish, ``distributedMapping.h:1005-1024``)."""
+        if self._bus is None:
+            return
+        from .transport import DescriptorMsg
+
+        K = self.cfg.keyframe.max_keyframes
+        idx = int(self.state.counts[self.robot]) - 1
+        slot = self.robot * K + idx
+        cur = np.eye(4)
+        cur[:3, :3] = np.asarray(self.state.odom_R[slot])
+        cur[:3, 3] = np.asarray(self.state.odom_t[slot])
+        pre = np.eye(4)
+        if idx > 0:
+            pre[:3, :3] = np.asarray(self.state.odom_R[slot - 1])
+            pre[:3, 3] = np.asarray(self.state.odom_t[slot - 1])
+        else:
+            pre = cur.copy()
+        self._bus.broadcast_descriptor(
+            self.robot,
+            DescriptorMsg(
+                robot=self.robot,
+                index=idx,
+                pre_pose=pre,
+                cur_pose=cur,
+                values=wire,
+                stamp=float(self.state.stamps[slot]),
+            ),
+        )
+
+    def detect_inter_loop(self) -> dict | None:
+        """Query for a cross-robot loop; on a hit, RPC the owning robot for
+
+        geometric verification and queue the resulting factor."""
+        if (
+            not self.cfg.loop.inter_enabled
+            or self._bus is None
+            or self.cfg.number_of_robots < 2
+            or self._keyframes < 1
+        ):
+            return None
+        found, match, cloud_xyz, cloud_mask = _detect_inter(
+            self.state, jnp.array(self.robot), self.cfg
+        )
+        if not bool(found):
+            return None
+        from .transport import VerifyRequest
+
+        robot_pre = int(match.robot)
+        index_pre = int(match.index)
+        idx_cur = int(self.state.counts[self.robot]) - 1
+        req = VerifyRequest(
+            robot_cur=self.robot,
+            index_cur=idx_cur,
+            robot_pre=robot_pre,
+            index_pre=index_pre,
+            cloud_xyz=np.asarray(cloud_xyz),
+            cloud_mask=np.asarray(cloud_mask),
+        )
+        resp = self._bus.verify(robot_pre, req)
+        if not resp.success:
+            return None
+        K = self.cfg.keyframe.max_keyframes
+        z = se3.Pose(
+            jnp.asarray(resp.pose_between[:3, :3], jnp.float32),
+            jnp.asarray(resp.pose_between[:3, 3], jnp.float32),
+        )
+        self.state = _queue_loop(
+            self.state,
+            jnp.array(robot_pre * K + index_pre),
+            jnp.array(self.robot * K + idx_cur),
+            z,
+            jnp.array(max(1e-3, 1.0 - resp.inlier_ratio), jnp.float32),
+            self.cfg,
+        )
+        return {
+            "robot": robot_pre,
+            "matched_index": index_pre,
+            "distance": float(match.distance),
+            "inlier_ratio": resp.inlier_ratio,
+        }
+
+    def serve_verification(self, req):
+        """Server side of the verification RPC."""
+        from .transport import VerifyResponse
+
+        self._verify_key, sub = jax.random.split(self._verify_key)
+        success, z, ratio = _verify_ransac(
+            self.state,
+            jnp.asarray(req.cloud_xyz),
+            jnp.asarray(req.cloud_mask),
+            jnp.array(req.robot_cur),
+            jnp.array(req.index_cur),
+            jnp.array(req.robot_pre),
+            jnp.array(req.index_pre),
+            sub,
+            self.cfg,
+        )
+        if not bool(success):
+            return VerifyResponse(False, None, float(ratio))
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(z.R)
+        T[:3, 3] = np.asarray(z.t)
+        return VerifyResponse(True, T, float(ratio))
+
+    def spin_once(self) -> dict:
+        """One loop-thread iteration (reference ``loopClosureThread``,
+
+        ``distributedMapping.h:1450-1473``, minus the busy-wait)."""
+        info = {"loop": self.detect_intra_loop()}
+        inter = self.detect_inter_loop()
+        if inter:
+            info["inter_loop"] = inter
+        if bool(self.state.loop_closed):
+            info["chi2"] = self.optimize()
+        return info
+
+    # -- outputs --
+    def trajectory(self, robot: int | None = None) -> np.ndarray:
+        """Optimized keyframe poses [N, 4, 4] for a robot (own by default)."""
+        robot = self.robot if robot is None else robot
+        K = self.cfg.keyframe.max_keyframes
+        n = int(self.state.counts[robot])
+        R = np.asarray(self.state.opt_R[robot * K : robot * K + n])
+        t = np.asarray(self.state.opt_t[robot * K : robot * K + n])
+        out = np.tile(np.eye(4), (n, 1, 1))
+        out[:, :3, :3] = R
+        out[:, :3, 3] = t
+        return out
+
+    def keyframe_stamps(self, robot: int | None = None) -> np.ndarray:
+        robot = self.robot if robot is None else robot
+        K = self.cfg.keyframe.max_keyframes
+        n = int(self.state.counts[robot])
+        return np.asarray(self.state.stamps[robot * K : robot * K + n])
+
+    def global_map(self, max_points: int = 1 << 18) -> np.ndarray:
+        """Assembled global map (reference ``publishGlobalMap``,
+
+        ``distributedMapping.h:1621-1655``): all keyframes transformed by
+        optimized poses, merged, voxel-downsampled."""
+        clouds = []
+        K = self.cfg.keyframe.max_keyframes
+        for r in range(self.cfg.number_of_robots):
+            n = int(self.state.counts[r])
+            for k in range(n):
+                s = r * K + k
+                xyz = np.asarray(self.state.kf_xyz[s])
+                m = np.asarray(self.state.kf_mask[s])
+                Rm = np.asarray(self.state.opt_R[s])
+                tm = np.asarray(self.state.opt_t[s])
+                clouds.append(xyz[m] @ Rm.T + tm)
+        if not clouds:
+            return np.zeros((0, 3), np.float32)
+        merged = np.concatenate(clouds).astype(np.float32)
+        cloud = pc.from_points(merged, min(len(merged), max_points))
+        ds = pc.voxel_downsample(cloud, self.cfg.keyframe.map_leaf_size)
+        return np.asarray(ds.xyz)[np.asarray(ds.mask)]
+
+    def save_trajectories(self, directory: str):
+        """TUM + KITTI export for every robot (reference
+
+        ``saveDistributedTrajectoryService``, ``distributedMapping.h:1500-1609``)."""
+        from ..io import trajectory as tio
+
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        for r in range(self.cfg.number_of_robots):
+            if int(self.state.counts[r]) == 0:
+                continue
+            poses = self.trajectory(r)
+            stamps = self.keyframe_stamps(r)
+            name = chr(ord("a") + r)
+            tio.save_tum(os.path.join(directory, f"{name}_tum.txt"), poses, stamps)
+            tio.save_kitti(os.path.join(directory, f"{name}_kitti.txt"), poses)

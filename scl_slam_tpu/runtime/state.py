@@ -1,0 +1,120 @@
+"""Device-resident SLAM state: keyframe DB, descriptor DB, factor graph.
+
+The functional replacement for the reference's mutable per-robot state
+(``struct singleRobot`` + ``cloudKeyPoses3D/6D`` + ``keyFrameArray``,
+reference ``include/distributedMapping.h:57-96, 727-748``). All arrays are
+fixed-capacity; keyframe slots are global: robot r, local index i ->
+slot r * max_keyframes + i (the analog of GTSAM ``Symbol('a'+r, i)``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..descriptors import base as desc_base
+from ..descriptors import scan_context as sc
+from ..geometry import se3
+from ..graph import factors as F
+
+
+class LoopQueue(NamedTuple):
+    """Pending verified loop factors (reference ``loopInfoQueue``,
+
+    ``include/distributedMapping.h:784-823``)."""
+
+    i: jax.Array          # [Q] int32 global slot
+    j: jax.Array          # [Q]
+    z_R: jax.Array        # [Q, 3, 3]
+    z_t: jax.Array        # [Q, 3]
+    noise: jax.Array      # [Q] scalar noise (ICP fitness), ref :1146-1159
+    count: jax.Array      # scalar
+
+
+class MapperState(NamedTuple):
+    # keyframe DB
+    kf_xyz: jax.Array       # [S, P, 3] downsampled keyframe clouds
+    kf_mask: jax.Array      # [S, P] bool
+    odom_R: jax.Array       # [S, 3, 3] odometry-frame poses (as received)
+    odom_t: jax.Array       # [S, 3]
+    opt_R: jax.Array        # [S, 3, 3] optimized map-frame poses
+    opt_t: jax.Array        # [S, 3]
+    stamps: jax.Array       # [S] float64-ish seconds (f32)
+    counts: jax.Array       # [R] per-robot keyframe counts
+
+    # descriptor DB (family-specific descriptor + key arrays)
+    desc_db: desc_base.DescriptorDB
+
+    # factor graph over global slots
+    graph: F.FactorGraph
+
+    # loop bookkeeping
+    loop_target: jax.Array  # [S] int32: accepted loop partner slot or -1 (dedup,
+    #                         the reference's loopIndexContainer, :1088-1093)
+    loop_queue: LoopQueue
+    loop_closed: jax.Array  # bool: a loop was accepted since last optimize
+
+    @property
+    def max_keyframes(self) -> int:
+        return self.kf_xyz.shape[0] // self.counts.shape[0]
+
+    def slot(self, robot, index):
+        return robot * self.max_keyframes + index
+
+    def opt_poses(self) -> se3.Pose:
+        return se3.Pose(self.opt_R, self.opt_t)
+
+
+def make_state(cfg: SlamConfig) -> MapperState:
+    R = cfg.number_of_robots
+    K = cfg.keyframe.max_keyframes
+    P = cfg.keyframe.points_per_keyframe
+    S = R * K
+    Q = cfg.loop.queue_capacity
+    sc_cfg = sc.ScanContextConfig(
+        num_rings=cfg.scan_context.num_rings,
+        num_sectors=cfg.scan_context.num_sectors,
+        max_radius=cfg.scan_context.max_radius,
+        lidar_height=cfg.scan_context.lidar_height,
+        num_candidates=cfg.scan_context.num_candidates,
+        exclude_recent=cfg.scan_context.exclude_recent,
+        distance_threshold=cfg.scan_context.distance_threshold,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3), (S, 3, 3))
+    return MapperState(
+        kf_xyz=jnp.full((S, P, 3), 1e6, jnp.float32),
+        kf_mask=jnp.zeros((S, P), bool),
+        odom_R=eye,
+        odom_t=jnp.zeros((S, 3), jnp.float32),
+        opt_R=eye,
+        opt_t=jnp.zeros((S, 3), jnp.float32),
+        stamps=jnp.zeros((S,), jnp.float32),
+        counts=jnp.zeros((R,), jnp.int32),
+        desc_db=sc.make_db(S, sc_cfg),
+        graph=F.make_graph(cfg.optimizer.edge_capacity, cfg.optimizer.prior_capacity),
+        loop_target=jnp.full((S,), -1, jnp.int32),
+        loop_queue=LoopQueue(
+            i=jnp.zeros(Q, jnp.int32),
+            j=jnp.zeros(Q, jnp.int32),
+            z_R=jnp.broadcast_to(jnp.eye(3), (Q, 3, 3)),
+            z_t=jnp.zeros((Q, 3), jnp.float32),
+            noise=jnp.zeros(Q, jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        ),
+        loop_closed=jnp.array(False),
+    )
+
+
+def scan_context_config(cfg: SlamConfig) -> sc.ScanContextConfig:
+    p = cfg.scan_context
+    return sc.ScanContextConfig(
+        num_rings=p.num_rings,
+        num_sectors=p.num_sectors,
+        max_radius=p.max_radius,
+        lidar_height=p.lidar_height,
+        num_candidates=p.num_candidates,
+        exclude_recent=p.exclude_recent,
+        distance_threshold=p.distance_threshold,
+    )

@@ -1,0 +1,162 @@
+"""Inter-robot communication transports.
+
+The reference exchanges descriptors over ROS topics (queue 50,
+``include/distributedMapping.h:436-447``) and verification requests over a
+blocking ROS service carrying a PointCloud2 (``:490, 1332-1336``). Here the
+same two channels are an explicit transport interface:
+
+- :class:`LocalBus` — in-process N-robot wiring (the analog of the
+  reference's single-machine namespaced multi-robot simulation,
+  ``launch/test_distributed_loop.launch``). Used by tests and run_multi.
+- :class:`TcpBus` — socket transport for true multi-process/multi-host runs;
+  same interface, length-prefixed numpy payloads.
+"""
+from __future__ import annotations
+
+import pickle
+import socket
+import struct
+import threading
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+
+@dataclass
+class DescriptorMsg:
+    """``global_descriptor`` wire format (reference ``msg/global_descriptor.msg``)."""
+
+    robot: int
+    index: int
+    pre_pose: np.ndarray   # [4, 4]
+    cur_pose: np.ndarray   # [4, 4]
+    values: np.ndarray     # flat descriptor floats
+    stamp: float
+
+
+@dataclass
+class VerifyRequest:
+    """``geometric_verification`` request (reference ``srv/geometric_verification.srv``)."""
+
+    robot_cur: int
+    index_cur: int
+    robot_pre: int
+    index_pre: int
+    cloud_xyz: np.ndarray   # [N, 3] in requester's map frame
+    cloud_mask: np.ndarray  # [N]
+
+
+@dataclass
+class VerifyResponse:
+    success: bool
+    pose_between: np.ndarray | None   # [4, 4]: T_pre^-1 * T_cur_corrected
+    inlier_ratio: float
+
+
+class LocalBus:
+    """In-process transport: direct calls between registered mappers."""
+
+    def __init__(self):
+        self._desc_handlers: dict[int, Callable[[DescriptorMsg], None]] = {}
+        self._verify_handlers: dict[int, Callable[[VerifyRequest], VerifyResponse]] = {}
+
+    def register(self, robot: int, on_descriptor, on_verify):
+        self._desc_handlers[robot] = on_descriptor
+        self._verify_handlers[robot] = on_verify
+
+    def broadcast_descriptor(self, from_robot: int, msg: DescriptorMsg):
+        for robot, handler in self._desc_handlers.items():
+            if robot != from_robot:
+                handler(msg)
+
+    def verify(self, target_robot: int, req: VerifyRequest) -> VerifyResponse:
+        return self._verify_handlers[target_robot](req)
+
+
+def _send_frame(sock: socket.socket, obj):
+    payload = pickle.dumps(obj, protocol=4)
+    sock.sendall(struct.pack("!Q", len(payload)) + payload)
+
+
+def _recv_frame(sock: socket.socket):
+    header = _recv_exact(sock, 8)
+    (n,) = struct.unpack("!Q", header)
+    return pickle.loads(_recv_exact(sock, n))
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+class TcpBus:
+    """Socket transport: one listener per robot, peers dial directly.
+
+    Descriptor broadcast is fire-and-forget; verification is a blocking
+    request/response (matching the reference's service semantics).
+    """
+
+    def __init__(self, robot: int, listen_port: int, peers: dict[int, tuple[str, int]]):
+        self.robot = robot
+        self.peers = peers
+        self._on_descriptor = None
+        self._on_verify = None
+        self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._server.bind(("0.0.0.0", listen_port))
+        self._server.listen(16)
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._running = True
+
+    def register(self, robot: int, on_descriptor, on_verify):
+        assert robot == self.robot
+        self._on_descriptor = on_descriptor
+        self._on_verify = on_verify
+        self._thread.start()
+
+    def _serve(self):
+        while self._running:
+            try:
+                conn, _ = self._server.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
+
+    def _handle(self, conn: socket.socket):
+        try:
+            while True:
+                kind, obj = _recv_frame(conn)
+                if kind == "desc":
+                    self._on_descriptor(obj)
+                elif kind == "verify":
+                    resp = self._on_verify(obj)
+                    _send_frame(conn, ("verify_resp", resp))
+        except (ConnectionError, EOFError, OSError):
+            conn.close()
+
+    def broadcast_descriptor(self, from_robot: int, msg: DescriptorMsg):
+        for robot, (host, port) in self.peers.items():
+            if robot == self.robot:
+                continue
+            try:
+                with socket.create_connection((host, port), timeout=5) as s:
+                    _send_frame(s, ("desc", msg))
+            except OSError:
+                pass  # peer down: descriptors are droppable (queue-50 semantics)
+
+    def verify(self, target_robot: int, req: VerifyRequest) -> VerifyResponse:
+        host, port = self.peers[target_robot]
+        with socket.create_connection((host, port), timeout=30) as s:
+            _send_frame(s, ("verify", req))
+            kind, resp = _recv_frame(s)
+            return resp
+
+    def close(self):
+        self._running = False
+        self._server.close()
