@@ -73,8 +73,13 @@ def log(p: Pose) -> jax.Array:
 
 
 def retract(p: Pose, xi: jax.Array) -> Pose:
-    """Right-multiplicative retraction p * exp(xi) used by the GN solver."""
-    return compose(p, exp(xi))
+    """Right-multiplicative retraction p * exp(xi) used by the GN solver.
+
+    Re-orthonormalizes the result: repeated retractions are exactly the
+    chained-composition pattern that drifts rotations off SO(3) in f32.
+    """
+    q = compose(p, exp(xi))
+    return Pose(so3.orthonormalize(q.R), q.t)
 
 
 def local(a: Pose, b: Pose) -> jax.Array:

@@ -36,6 +36,21 @@ def vee(W: jax.Array) -> jax.Array:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+def orthonormalize(R: jax.Array, iters: int = 2) -> jax.Array:
+    """Project a near-rotation back onto SO(3) (Newton-Schulz polar iteration).
+
+    Chained f32 compositions drift off the manifold (observed |RR^T - I| ~
+    1e-4 after ~60 composes), which makes trace-based angle extraction report
+    phantom rotations and blows up log(). Two iterations of
+    R <- R (3I - R^T R)/2 restore orthogonality to ~1e-8 for such inputs;
+    cheap (2 matmuls/iter), batched, differentiable.
+    """
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(iters):
+        R = R @ (1.5 * eye3 - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 def exp(w: jax.Array) -> jax.Array:
     """Rodrigues' formula: axis-angle [..., 3] -> rotation matrix [..., 3, 3].
 
@@ -43,13 +58,25 @@ def exp(w: jax.Array) -> jax.Array:
     function is smooth and finite everywhere (no NaN gradients at identity).
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    small = theta2 < 1e-8
-    # double-where: divisors must be benign in the unselected branch or the
-    # chain rule drags NaN through jnp.where at theta = 0
+    # Wide series branch (theta < 0.5): the closed forms hide catastrophic
+    # f32 cancellations — worse, their DERIVATIVES contain 1/theta^4-scale
+    # terms that cancel only analytically, so autodiffed Jacobians explode
+    # (observed 5e7-scale entries at theta ~ 0.01). The truncated series are
+    # f32-exact on this range and smooth. Also double-where: divisors must be
+    # benign in the unselected branch or the chain rule drags NaN through.
+    small = theta2 < 0.25
     safe_theta2 = jnp.where(small, 1.0, theta2)
     theta = jnp.sqrt(safe_theta2)
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_theta2)
+    a = jnp.where(
+        small,
+        1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0,
+        jnp.sin(theta) / theta,
+    )
+    b = jnp.where(
+        small,
+        0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
+        (1.0 - jnp.cos(theta)) / safe_theta2,
+    )
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -62,6 +89,10 @@ def log(R: jax.Array) -> jax.Array:
     Stable near identity and near pi (falls back to the diagonal-based
     extraction in the near-pi region).
     """
+    # guard against off-manifold input (see orthonormalize): a contracted
+    # matrix yields trace-angle > 0 with antisymmetric part ~ 0, and the
+    # theta/|u| scale below would explode
+    R = orthonormalize(R)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     # u = vee(R - R^T) = 2 sin(theta) * axis. Using |u| for the axis norm
@@ -111,13 +142,19 @@ def log(R: jax.Array) -> jax.Array:
 def left_jacobian(w: jax.Array) -> jax.Array:
     """SO(3) left Jacobian J_l(w): [..., 3] -> [..., 3, 3]."""
     theta2 = jnp.sum(w * w, axis=-1)
-    small = theta2 < 1e-8
+    # wide series branch: see exp() — f32 cancellation in values AND
+    # autodiff tangents makes the closed forms unusable below theta ~ 0.5
+    small = theta2 < 0.25
     safe_theta2 = jnp.where(small, 1.0, theta2)  # double-where NaN-grad guard
     theta = jnp.sqrt(safe_theta2)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_theta2)
+    b = jnp.where(
+        small,
+        0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
+        (1.0 - jnp.cos(theta)) / safe_theta2,
+    )
     c = jnp.where(
         small,
-        1.0 / 6.0 - theta2 / 120.0,
+        1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
         (theta - jnp.sin(theta)) / (safe_theta2 * theta),
     )
     W = hat(w)
@@ -129,16 +166,21 @@ def left_jacobian(w: jax.Array) -> jax.Array:
 def left_jacobian_inv(w: jax.Array) -> jax.Array:
     """Inverse SO(3) left Jacobian: [..., 3] -> [..., 3, 3]."""
     theta2 = jnp.sum(w * w, axis=-1)
-    small = theta2 < 1e-8
+    # wide series branch: the closed cot form is a difference of two
+    # ~1/theta^2 terms whose 1/theta^4-scale derivatives cancel only
+    # analytically — in f32 this poisoned GN Jacobians with 5e7 entries at
+    # theta ~ 0.01. Series error at theta = 0.5 is ~1e-7.
+    small = theta2 < 0.25
     safe_theta2 = jnp.where(small, 1.0, theta2)  # double-where NaN-grad guard
     theta = jnp.sqrt(safe_theta2)
     sin_t = jnp.sin(theta)
     # sign-preserving guard: sin(theta) is negative for theta > pi
     safe_sin = jnp.where(jnp.abs(sin_t) < _EPS, _EPS, sin_t)
-    # cot coefficient: 1/t^2 - (1 + cos t) / (2 t sin t); series 1/12 + t^2/720
+    # cot coefficient: 1/t^2 - (1 + cos t)/(2 t sin t)
+    # series: 1/12 + t^2/720 + t^4/30240
     cot_coef = jnp.where(
         small,
-        1.0 / 12.0 + theta2 / 720.0,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
         (1.0 / safe_theta2) - (1.0 + jnp.cos(theta)) / (2.0 * theta * safe_sin),
     )
     W = hat(w)

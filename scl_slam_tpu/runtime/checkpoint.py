@@ -1,0 +1,77 @@
+"""Checkpoint / resume for the full SLAM session state.
+
+The reference has **no checkpointing** (write-only trajectory exports,
+SURVEY §5); a crashed robot loses its map. Here the complete
+:class:`MapperState` pytree (keyframe DB, descriptor DB, factor graph, loop
+bookkeeping) plus the host-side cursor state round-trips through a single
+compressed npz — also the multi-host restart story: every robot checkpoints
+independently and resumes mid-session.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+from .mapper import Mapper
+from .state import MapperState
+
+
+def _flatten_state(state: MapperState) -> dict[str, np.ndarray]:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+
+def save(mapper: Mapper, path: str) -> None:
+    """Write a checkpoint (atomic: tmp + rename)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = _flatten_state(mapper.state)
+    meta = {
+        "version": 1,
+        "robot": mapper.robot,
+        "frames_seen": mapper._frames_seen,
+        "keyframes": mapper._keyframes,
+        "last_kf_pose": (
+            None
+            if mapper._last_kf_pose is None
+            else np.asarray(se3.to_matrix(mapper._last_kf_pose)).tolist()
+        ),
+        "verify_key": np.asarray(mapper._verify_key).tolist(),
+    }
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
+    # np.savez appends .npz to names lacking it
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+
+
+def load(mapper: Mapper, path: str) -> Mapper:
+    """Restore a checkpoint into an existing (same-config) Mapper."""
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        if meta["version"] != 1:
+            raise ValueError(f"unsupported checkpoint version {meta['version']}")
+        leaves, treedef = jax.tree_util.tree_flatten(mapper.state)
+        new_leaves = []
+        for i, old in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            if arr.shape != old.shape:
+                raise ValueError(
+                    f"checkpoint/config shape mismatch at leaf {i}: "
+                    f"{arr.shape} vs {old.shape} — was the config changed?"
+                )
+            new_leaves.append(jnp.asarray(arr))
+        mapper.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    mapper._frames_seen = meta["frames_seen"]
+    mapper._keyframes = meta["keyframes"]
+    if meta["last_kf_pose"] is not None:
+        T = jnp.asarray(meta["last_kf_pose"], jnp.float32)
+        mapper._last_kf_pose = se3.from_matrix(T)
+    else:
+        mapper._last_kf_pose = None
+    mapper._verify_key = jnp.asarray(meta["verify_key"], jnp.uint32)
+    return mapper

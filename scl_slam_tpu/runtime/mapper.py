@@ -24,6 +24,7 @@ loop-closure thread of the reference (``:1450-1473``) becomes an explicit
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -33,7 +34,7 @@ import numpy as np
 from ..config import SlamConfig
 from ..descriptors import base as desc_base
 from ..descriptors import scan_context as sc
-from ..geometry import se3
+from ..geometry import se3, so3
 from ..graph import factors as F
 from ..graph import solver
 from ..ops import pointcloud as pc
@@ -95,7 +96,9 @@ def _ingest(
     opt_pose_chained = se3.compose(prev_opt, inc)
     first = idx == 0
     opt_pose = se3.Pose(
-        jnp.where(first, pose.R, opt_pose_chained.R),
+        # orthonormalize: per-keyframe chaining is the compose pattern that
+        # drifts rotations off SO(3) in f32 (phantom trace-angles)
+        so3.orthonormalize(jnp.where(first, pose.R, opt_pose_chained.R)),
         jnp.where(first, pose.t, opt_pose_chained.t),
     )
 
@@ -737,13 +740,62 @@ class Mapper:
         ds = pc.voxel_downsample(cloud, self.cfg.keyframe.map_leaf_size)
         return np.asarray(ds.xyz)[np.asarray(ds.mask)]
 
+    def loop_constraints(self) -> list[dict]:
+        """Current loop factors (non-consecutive graph edges) for
+
+        visualization — the MarkerArray analog (reference
+        ``publishLoopClosureConstraint``, ``distributedMapping.h:1388-1447``)."""
+        g = self.state.graph
+        n = int(g.num_edges)
+        i = np.asarray(g.i[:n])
+        j = np.asarray(g.j[:n])
+        K = self.cfg.keyframe.max_keyframes
+        out = []
+        for e in range(n):
+            a, b = int(i[e]), int(j[e])
+            if b - a == 1 and a // K == b // K:
+                continue  # odometry edge
+            out.append(
+                {
+                    "i": a,
+                    "j": b,
+                    "pi": np.asarray(self.state.opt_t[a]).tolist(),
+                    "pj": np.asarray(self.state.opt_t[b]).tolist(),
+                    "kind": "intra" if a // K == b // K else "inter",
+                    "sigma": float(1.0 / max(float(g.sqrt_info[e, 0]), 1e-9)),
+                }
+            )
+        return out
+
+    def export_artifacts(self, directory: str):
+        """Global map (PLY), per-robot keyposes (PCD), loop constraints
+
+        (JSON) — the offline equivalents of the reference's rviz topics and
+        PCD exports."""
+        from ..io import export as eio
+
+        os.makedirs(directory, exist_ok=True)
+        gmap = self.global_map()
+        if len(gmap):
+            eio.save_ply(os.path.join(directory, "global_map.ply"), gmap)
+        K = self.cfg.keyframe.max_keyframes
+        for r in range(self.cfg.number_of_robots):
+            nk = int(self.state.counts[r])
+            if nk:
+                keyposes = np.asarray(self.state.opt_t[r * K : r * K + nk])
+                eio.save_pcd(
+                    os.path.join(directory, f"{chr(ord('a') + r)}_keyposes.pcd"),
+                    keyposes,
+                )
+        eio.save_loop_constraints(
+            os.path.join(directory, "loop_constraints.json"), self.loop_constraints()
+        )
+
     def save_trajectories(self, directory: str):
         """TUM + KITTI export for every robot (reference
 
         ``saveDistributedTrajectoryService``, ``distributedMapping.h:1500-1609``)."""
         from ..io import trajectory as tio
-
-        import os
 
         os.makedirs(directory, exist_ok=True)
         for r in range(self.cfg.number_of_robots):

@@ -20,3 +20,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: XLA CPU compiles dominate suite time on this box
+jax.config.update("jax_compilation_cache_dir", "/tmp/scl_slam_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,84 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scl_slam_tpu.config import (
+    KeyframeConfig,
+    LoopConfig,
+    OptimizerConfig,
+    ScanContextParams,
+    SlamConfig,
+)
+from scl_slam_tpu.geometry import se3
+from scl_slam_tpu.runtime import Mapper, checkpoint
+
+
+def tiny_cfg():
+    return SlamConfig(
+        keyframe=KeyframeConfig(
+            max_keyframes=16, points_per_keyframe=256, raw_points_capacity=512
+        ),
+        loop=LoopConfig(near_keyframes=2, submap_capacity=512, queue_capacity=8),
+        optimizer=OptimizerConfig(edge_capacity=64, gn_iters=2, cg_iters=8),
+        scan_context=ScanContextParams(exclude_recent=2),
+    )
+
+
+def seeded_mapper(n=5):
+    m = Mapper(tiny_cfg())
+    rng = np.random.RandomState(0)
+    for k in range(n):
+        xyz = rng.uniform(-20, 20, (400, 3)).astype(np.float32)
+        pose = se3.Pose(jnp.eye(3), jnp.array([2.0 * k, 0.0, 0.0]))
+        m.add_frame(pose, xyz, stamp=0.1 * k)
+    return m
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        m = seeded_mapper()
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save(m, path)
+
+        m2 = Mapper(tiny_cfg())
+        checkpoint.load(m2, path)
+        assert int(m2.state.counts[0]) == int(m.state.counts[0])
+        np.testing.assert_array_equal(
+            np.asarray(m2.state.opt_t), np.asarray(m.state.opt_t)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m2.state.desc_db.keys), np.asarray(m.state.desc_db.keys)
+        )
+        assert m2._keyframes == m._keyframes
+
+    def test_resume_continues_cleanly(self, tmp_path):
+        m = seeded_mapper()
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save(m, path)
+        m2 = Mapper(tiny_cfg())
+        checkpoint.load(m2, path)
+        # add more frames to both; they must evolve identically
+        rng = np.random.RandomState(7)
+        for k in range(5, 8):
+            xyz = rng.uniform(-20, 20, (400, 3)).astype(np.float32)
+            pose = se3.Pose(jnp.eye(3), jnp.array([2.0 * k, 0.0, 0.0]))
+            m.add_frame(pose, xyz.copy(), stamp=0.1 * k)
+            m2.add_frame(pose, xyz.copy(), stamp=0.1 * k)
+        np.testing.assert_array_equal(
+            np.asarray(m2.state.opt_t), np.asarray(m.state.opt_t)
+        )
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        m = seeded_mapper()
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save(m, path)
+        import dataclasses
+
+        other = dataclasses.replace(
+            tiny_cfg(), keyframe=KeyframeConfig(max_keyframes=32,
+                                                points_per_keyframe=256,
+                                                raw_points_capacity=512)
+        )
+        m3 = Mapper(other)
+        with pytest.raises(ValueError, match="mismatch"):
+            checkpoint.load(m3, path)

@@ -139,6 +139,29 @@ class TestSE3:
         g = jax.jit(jax.grad(loss))(jnp.array([0.1, 0.2, -0.3, 1.0, 2.0, 3.0]))
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_log_of_drifted_rotation(self):
+        # regression: ~60 chained f32 composes contract R (|RR^T - I| ~ 1e-4),
+        # making the trace report a phantom angle with a ~zero antisymmetric
+        # part; log() must not explode (observed 2.6e7-scale outputs)
+        R = jnp.eye(3) * jnp.array([0.99994, 0.99995, 1.0])[None, :]
+        w = so3.log(R)
+        assert float(jnp.abs(w).max()) < 1e-2
+        # and jacobians through it stay bounded
+        J = jax.jacfwd(so3.log)(R)
+        assert float(jnp.abs(J).max()) < 1e3
+
+    def test_chained_compose_log_stable(self):
+        # compose a small rotation 200 times; log of consecutive betweens
+        # must stay near the true increment
+        inc = so3.exp(jnp.array([0.0, 0.0, 0.03]))
+        R = jnp.eye(3)
+        for _ in range(200):
+            R = R @ inc
+        # re-derive the last increment
+        prev = R @ inc.T
+        w = so3.log(so3.orthonormalize(prev).T @ R)
+        np.testing.assert_allclose(np.asarray(w), [0, 0, 0.03], atol=1e-3)
+
     @pytest.mark.parametrize(
         "xi",
         [
