@@ -9,10 +9,14 @@ streams it through a double-buffered VMEM tile; only the running
 (min-distance, argmin) per query stays resident, so HBM traffic is one pass
 over the target per query tile.
 
-Layout note: TPU tiling wants the last dim aligned to 128 lanes, so point
-clouds are processed **transposed** — coordinates as [3, N] — and the
-[TQ, TT] distance tile comes from a [3, TQ]^T x [3, TT] contraction on the
-MXU.
+Layout: TPU tiling wants lane dim aligned to 128 and sublane slices aligned
+to 4, so clouds are processed transposed and homogenized to **4 rows**:
+t' = [x, y, z, |t|^2], q' = [x, y, z, -0.5]. Then
+
+    q' . t' = q.t - 0.5 |t|^2   =>   d^2 = |q|^2 - 2 (q' . t')
+
+which folds the |t|^2 correction into the same MXU contraction — one fused
+[4, N] stream, no second DMA.
 """
 from __future__ import annotations
 
@@ -28,29 +32,24 @@ TT = 512    # target tile per VMEM step
 N_BUF = 2   # double buffering
 
 
-def _nn_kernel(q_ref, t_hbm, tsq_hbm, d_ref, idx_ref, t_buf, tsq_buf, sems):
+def _nn_kernel(q_ref, t_hbm, d_ref, idx_ref, t_buf, sems):
     """One query tile vs the whole target, streamed HBM -> VMEM.
 
-    q_ref [3, TQ] VMEM; t_hbm [3, Nt] HBM; tsq_hbm [1, Nt] HBM (|t|^2);
-    outputs d_ref [1, TQ], idx_ref [1, TQ]; scratch: t_buf [N_BUF, 3, TT],
-    tsq_buf [N_BUF, 1, TT], sems [N_BUF, 2].
+    q_ref [4, TQ] VMEM (rows x,y,z,-0.5); t_hbm [4, Nt] HBM (rows
+    x,y,z,|t|^2); outputs d_ref [1, TQ] f32, idx_ref [1, TQ] i32;
+    scratch t_buf [N_BUF, 4, TT], sems [N_BUF].
     """
-    q = q_ref[:]                                   # [3, TQ]
-    q_sq = jnp.sum(q * q, axis=0)                  # [TQ]
+    q = q_ref[:]                                   # [4, TQ]
+    # |q|^2 = sum of squares of xyz rows = sum over all 4 rows minus (-0.5)^2
+    q_sq = jnp.sum(q * q, axis=0) - 0.25           # [TQ]
     n_tiles = t_hbm.shape[1] // TT
 
     def tile_dma(slot, tile):
-        return (
-            pltpu.make_async_copy(
-                t_hbm.at[:, pl.ds(tile * TT, TT)], t_buf.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                tsq_hbm.at[:, pl.ds(tile * TT, TT)], tsq_buf.at[slot], sems.at[slot, 1]
-            ),
+        return pltpu.make_async_copy(
+            t_hbm.at[:, pl.ds(tile * TT, TT)], t_buf.at[slot], sems.at[slot]
         )
 
-    for dma in tile_dma(0, 0):
-        dma.start()
+    tile_dma(0, 0).start()
 
     def body(i, carry):
         best_d, best_i = carry
@@ -59,19 +58,16 @@ def _nn_kernel(q_ref, t_hbm, tsq_hbm, d_ref, idx_ref, t_buf, tsq_buf, sems):
 
         @pl.when(i + 1 < n_tiles)
         def _():
-            for dma in tile_dma(next_slot, i + 1):
-                dma.start()
+            tile_dma(next_slot, i + 1).start()
 
-        for dma in tile_dma(slot, i):
-            dma.wait()
+        tile_dma(slot, i).wait()
 
-        t = t_buf[slot]                            # [3, TT]
-        t_sq = tsq_buf[slot][0]                    # [TT]
+        t = t_buf[slot]                            # [4, TT]
         cross = jax.lax.dot_general(
             q, t, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [TQ, TT]
-        d2 = q_sq[:, None] - 2.0 * cross + t_sq[None, :]
+        d2 = q_sq[:, None] - 2.0 * cross
         tile_best = jnp.min(d2, axis=1)
         tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + i * TT
         take = tile_best < best_d
@@ -98,16 +94,17 @@ def nearest_neighbors_pallas(
     """
     nq, nt = query.shape[0], target.shape[0]
     assert nq % TQ == 0 and nt % TT == 0, (nq, nt)
-    qT = query.T                                   # [3, Nq]
-    tT = target.T                                  # [3, Nt]
-    t_sq = jnp.sum(target * target, axis=-1)[None, :]  # [1, Nt]
+    t_sq = jnp.sum(target * target, axis=-1)
+    tH = jnp.concatenate([target.T, t_sq[None, :]], axis=0)         # [4, Nt]
+    qH = jnp.concatenate(
+        [query.T, jnp.full((1, nq), -0.5, query.dtype)], axis=0
+    )                                                               # [4, Nq]
 
     d, idx = pl.pallas_call(
         _nn_kernel,
         grid=(nq // TQ,),
         in_specs=[
-            pl.BlockSpec((3, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((4, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
@@ -119,10 +116,9 @@ def nearest_neighbors_pallas(
             jax.ShapeDtypeStruct((1, nq), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, 3, TT), jnp.float32),
-            pltpu.VMEM((N_BUF, 1, TT), jnp.float32),
-            pltpu.SemaphoreType.DMA((N_BUF, 2)),
+            pltpu.VMEM((N_BUF, 4, TT), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
         interpret=interpret,
-    )(qT, tT, t_sq)
+    )(qH, tH)
     return d[0], idx[0]

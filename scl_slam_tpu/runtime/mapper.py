@@ -415,8 +415,26 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
     q = state.loop_queue
     graph = state.graph
 
+    if cfg.optimizer.use_pcm:
+        # PCM outlier rejection over the queued loops (reference usePCM /
+        # pcmThreshold, distributedMapping.h:525-535): keep only the largest
+        # pairwise-consistent subset under the current estimates
+        from ..graph import pcm
+
+        qvalid = jnp.arange(q.i.shape[0]) < q.count
+        loops_i = se3.Pose(state.opt_R[q.i], state.opt_t[q.i])
+        loops_j = se3.Pose(state.opt_R[q.j], state.opt_t[q.j])
+        accept = pcm.pcm_filter(
+            loops_i, loops_j, se3.Pose(q.z_R, q.z_t), qvalid,
+            threshold=cfg.optimizer.pcm_threshold,
+        )
+    else:
+        accept = None
+
     def add_one(k, g):
         valid = k < q.count
+        if accept is not None:
+            valid = valid & accept[k]
         # reference semantics: loop noise is a VARIANCE equal to the ICP
         # fitness (distributedMapping.h:1146-1159), scaled by config
         var = jnp.maximum(q.noise[k] * cfg.optimizer.loop_noise_scale, 1e-6)
