@@ -9,3 +9,13 @@ functions sharded over TPU meshes.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU f32 matmuls default to a single bf16 pass. At SLAM coordinate scales
+# (tens of meters) that is ±10 m^2 of error in squared distances — enough to
+# randomize nearest-neighbor correspondences — and enough normal-equation
+# error to break Cholesky in the GN solver. Geometry correctness is the
+# product here; the matmuls on our hot paths are tiny-K contractions where
+# full precision costs almost nothing.
+_jax.config.update("jax_default_matmul_precision", "highest")

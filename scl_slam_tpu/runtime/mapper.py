@@ -489,6 +489,7 @@ class Mapper:
         self._keyframes = 0
         self._bus = None
         self._verify_key = jax.random.PRNGKey(cfg.robot_id + 1)
+        self._last_opt_time = float("-inf")
 
     # -- keyframe gate (reference saveFrame, distributedMapping.h:755-780) --
     def should_add_keyframe(self, pose: se3.Pose) -> bool:
@@ -704,16 +705,25 @@ class Mapper:
         T[:3, 3] = np.asarray(z.t)
         return VerifyResponse(True, T, float(ratio))
 
-    def spin_once(self) -> dict:
+    def spin_once(self, now: float | None = None) -> dict:
         """One loop-thread iteration (reference ``loopClosureThread``,
 
-        ``distributedMapping.h:1450-1473``, minus the busy-wait)."""
+        ``distributedMapping.h:1450-1473``, minus the busy-wait). The
+        optimization trigger is throttled by ``mapping_process_interval``
+        (reference ``:1464-1471``); pass ``now`` to drive throttling from a
+        simulated clock."""
+        import time as _time
+
         info = {"loop": self.detect_intra_loop()}
         inter = self.detect_inter_loop()
         if inter:
             info["inter_loop"] = inter
-        if bool(self.state.loop_closed):
+        now = _time.monotonic() if now is None else now
+        interval = self.cfg.optimizer.mapping_process_interval
+        due = (now - self._last_opt_time) >= interval
+        if bool(self.state.loop_closed) and due:
             info["chi2"] = self.optimize()
+            self._last_opt_time = now
         return info
 
     # -- outputs --
