@@ -68,15 +68,14 @@ def nearest_neighbors(
     the [block, Nt] distance matrix stays in VMEM.
     """
     nq = query.shape[0]
-    t_sq = jnp.sum(target * target, axis=-1)
 
     def one_block(q):
-        # clamp: the expanded form |q|^2 - 2 q.t + |t|^2 can dip slightly
-        # negative from f32 roundoff
-        d2 = jnp.maximum(
-            jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * q @ target.T + t_sq[None, :],
-            0.0,
-        )
+        # direct per-coordinate distances: exact f32 on the VPU. The
+        # expanded |q|^2 - 2 q.t + |t|^2 matmul form needs 6-pass f32 MXU
+        # emulation to avoid bf16 argmin noise at meter scales — for a K=3
+        # contraction the elementwise form is both exact and cheaper.
+        diff = q[:, None, :] - target[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
         idx = jnp.argmin(d2, axis=-1)
         return jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], idx
 
