@@ -104,11 +104,27 @@ class SyntheticWorld:
         heights = rng.uniform(3.0, 15.0, n_clusters)
         pts = []
         for c, s, h in zip(centers, sizes, heights):
-            local = rng.uniform(-1, 1, (pts_per_cluster, 2)) * s
-            z = rng.uniform(0, h, (pts_per_cluster, 1))
-            pts.append(np.concatenate([c + local, z], axis=1))
-        # sparse ground points
-        ground = rng.uniform(-extent, extent, (n_clusters * 50, 2))
+            # sample building SURFACES (4 walls + roof), not volumes — real
+            # LiDAR returns lie on surfaces, which is what gives normals and
+            # point-to-plane registration something to grip
+            n_face = pts_per_cluster // 5
+            u = rng.uniform(-1, 1, (n_face, 4))
+            zs = rng.uniform(0, h, (n_face, 4))
+            walls = [
+                np.column_stack([c[0] + u[:, 0] * s[0], np.full(n_face, c[1] - s[1]), zs[:, 0]]),
+                np.column_stack([c[0] + u[:, 1] * s[0], np.full(n_face, c[1] + s[1]), zs[:, 1]]),
+                np.column_stack([np.full(n_face, c[0] - s[0]), c[1] + u[:, 2] * s[1], zs[:, 2]]),
+                np.column_stack([np.full(n_face, c[0] + s[0]), c[1] + u[:, 3] * s[1], zs[:, 3]]),
+            ]
+            roof_u = rng.uniform(-1, 1, (n_face, 2))
+            roof = np.column_stack(
+                [c[0] + roof_u[:, 0] * s[0], c[1] + roof_u[:, 1] * s[1],
+                 np.full(n_face, h)]
+            )
+            pts.extend(walls)
+            pts.append(roof)
+        # ground points
+        ground = rng.uniform(-extent, extent, (n_clusters * 100, 2))
         pts.append(
             np.concatenate([ground, np.zeros((len(ground), 1))], axis=1)
         )

@@ -143,6 +143,68 @@ def icp(
     return ICPResult(pose, fitness, inlier_frac, converged)
 
 
+def icp_point_to_plane(
+    source: Cloud,
+    target: Cloud,
+    target_normals: jax.Array,
+    init: se3.Pose | None = None,
+    max_iters: int = 20,
+    max_corr_dist: float = 2.0,
+    damping: float = 1e-6,
+) -> ICPResult:
+    """Point-to-plane ICP: minimize sum over correspondences of
+
+    (n_k . (T(s_k) - t_k))^2 via Gauss-Newton on se(3). The standard
+    odometry workhorse (the iterated-EKF point-to-plane update of the
+    reference's FAST-LIO front end, ``launch/single_ugv.launch:33-39``,
+    reduces to the same normal-equation structure). Converges much faster
+    than point-to-point on structured scenes.
+
+    ``target_normals``: [Nt, 3] unit normals for target points.
+    """
+    if init is None:
+        init = se3.identity(dtype=source.xyz.dtype)
+    tgt = jnp.where(target.mask[:, None], target.xyz, PAD_VALUE)
+    src = source.xyz
+    smask = source.mask
+
+    def step(carry, _):
+        pose, _ = carry
+        moved = se3.transform_points(pose, src)          # [N, 3]
+        d2, idx = nearest_neighbors(moved, tgt)
+        n = target_normals[idx]                          # [N, 3]
+        p_t = tgt[idx]
+        good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+        w = good.astype(src.dtype)
+        r = jnp.sum(n * (moved - p_t), axis=-1)          # [N] signed residual
+        # jacobian of r wrt left-multiplied twist [omega, v]:
+        #   dr/dv = n ; dr/domega = (moved x n)
+        J = jnp.concatenate([jnp.cross(moved, n), n], axis=-1)  # [N, 6]
+        H = jnp.einsum("na,n,nb->ab", J, w, J)
+        H = H + damping * jnp.eye(6, dtype=src.dtype)
+        b = -jnp.einsum("na,n->a", J, w * r)
+        xi = jnp.linalg.solve(H, b)
+        # left-multiplicative update: pose <- exp(xi) * pose
+        new_pose = se3.compose(se3.exp(xi), pose)
+        return (new_pose, jnp.linalg.norm(xi)), None
+
+    (pose, delta), _ = jax.lax.scan(
+        step, (init, jnp.array(jnp.inf, src.dtype)), None, length=max_iters
+    )
+    moved = se3.transform_points(pose, src)
+    d2, idx = nearest_neighbors(moved, tgt)
+    good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+    n_good = jnp.sum(good)
+    r = jnp.sum(target_normals[idx] * (moved - tgt[idx]), axis=-1)
+    fitness = jnp.where(
+        n_good > 0,
+        jnp.sum(jnp.where(good, r * r, 0.0)) / jnp.maximum(n_good, 1),
+        jnp.inf,
+    )
+    inlier_frac = n_good / jnp.maximum(jnp.sum(smask), 1)
+    return ICPResult(pose, fitness, inlier_frac, delta < 1e-6)
+
+
 class RansacResult(NamedTuple):
     pose: se3.Pose
     inlier_ratio: jax.Array

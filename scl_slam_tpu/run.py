@@ -34,6 +34,10 @@ def build_argparser():
     p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--odom-drift", type=float, default=0.02,
                    help="synthetic: forward drift (m) injected per frame")
+    p.add_argument("--odometry", choices=["gt", "icp"], default="gt",
+                   help="odometry source: gt = dataset poses (+injected "
+                   "drift for synthetic); icp = in-framework scan-to-map "
+                   "point-to-plane odometry")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -80,18 +84,28 @@ def main(argv=None):
         get_odom = lambda k: odom_accum[k]
         gt_of = lambda k: gt[k]
 
+    odo = None
+    if args.odometry == "icp":
+        from .runtime.odometry import Odometry
+
+        odo = Odometry()
+
     t_start = time.perf_counter()
     n_loops = 0
     kf_frames = []
     for k in range(n):
-        T = get_odom(k)
-        if T is None:
-            print("no odometry available (kitti gt missing)", file=sys.stderr)
-            return 2
-        pose = se3.Pose(
-            jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
-        )
-        wire = mapper.add_frame(pose, get_scan(k), stamp=0.1 * k)
+        scan = get_scan(k)
+        if odo is not None:
+            pose, _ = odo.step(scan)
+        else:
+            T = get_odom(k)
+            if T is None:
+                print("no odometry available (kitti gt missing)", file=sys.stderr)
+                return 2
+            pose = se3.Pose(
+                jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
+            )
+        wire = mapper.add_frame(pose, scan, stamp=0.1 * k)
         if wire is not None:
             kf_frames.append(k)
             info = mapper.spin_once()
@@ -113,8 +127,9 @@ def main(argv=None):
     if gt_of(0) is not None:
         gt_poses = np.stack([gt_of(k) for k in kf_frames])
         report["ate_rmse_m"] = round(tio.ate_rmse(est, gt_poses), 4)
-        dead = np.stack([np.asarray(get_odom(k)) for k in kf_frames])
-        report["ate_rmse_odom_only_m"] = round(tio.ate_rmse(dead, gt_poses), 4)
+        if args.odometry == "gt":
+            dead = np.stack([np.asarray(get_odom(k)) for k in kf_frames])
+            report["ate_rmse_odom_only_m"] = round(tio.ate_rmse(dead, gt_poses), 4)
     print(json.dumps(report))
     return 0
 

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..descriptors import base as desc_base
-from ..descriptors import scan_context as sc
+from ..descriptors import registry
 from ..geometry import se3, so3
 from ..graph import factors as F
 from ..graph import solver
@@ -112,10 +112,10 @@ def _ingest(
         lambda a, b: jnp.where(first, a, b), prior_graph, between_graph
     )
 
-    # descriptor (Scan Context family; others plug in via the same protocol)
-    sc_cfg = scan_context_config(cfg)
-    descriptor = sc.make(cloud, sc_cfg)
-    desc_db = sc.insert(state.desc_db, descriptor, robot, idx)
+    # descriptor via the configured family (Scan Context / Iris / M2DP / ...)
+    fam = registry.get_family(cfg)
+    descriptor = fam.make(cloud)
+    desc_db = fam.insert(state.desc_db, descriptor, robot, idx)
 
     state = state._replace(
         kf_xyz=state.kf_xyz.at[slot].set(small.xyz),
@@ -129,7 +129,7 @@ def _ingest(
         desc_db=desc_db,
         graph=graph,
     )
-    return state, sc.to_wire(descriptor)
+    return state, fam.to_wire(descriptor)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -166,9 +166,9 @@ def _ingest_peer(
         lambda a, b: jnp.where(first, a, b), prior_graph, between_graph
     )
 
-    sc_cfg = scan_context_config(cfg)
-    descriptor = sc.from_wire(wire, sc_cfg)
-    desc_db = sc.insert(state.desc_db, descriptor, robot, index)
+    fam = registry.get_family(cfg)
+    descriptor = fam.from_wire(wire)
+    desc_db = fam.insert(state.desc_db, descriptor, robot, index)
 
     prev_slot = jnp.maximum(slot - 1, robot * K)
     prev_opt = se3.Pose(state.opt_R[prev_slot], state.opt_t[prev_slot])
@@ -229,16 +229,12 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     found flag.
     """
     K = cfg.keyframe.max_keyframes
-    sc_cfg = scan_context_config(cfg)
+    fam = registry.get_family(cfg)
     idx = state.counts[robot] - 1
     slot = robot * K + idx
 
-    descriptor = sc.ScanContext(
-        state.desc_db.descriptors[slot],
-        state.desc_db.keys[slot],
-        jnp.mean(state.desc_db.descriptors[slot], axis=0),
-    )
-    match = sc.query(state.desc_db, descriptor, robot, idx, sc_cfg, mode="intra")
+    descriptor = fam.from_db(state.desc_db, slot)
+    match = fam.query(state.desc_db, descriptor, robot, idx, mode="intra")
     already = state.loop_target[slot] >= 0
     attempt = match.found & ~already & (idx >= 0)
 
@@ -307,15 +303,11 @@ def _detect_inter(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     keyframe cloud transformed into the map frame (the payload of the
     verification RPC, ``:1325-1338``)."""
     K = cfg.keyframe.max_keyframes
-    sc_cfg = scan_context_config(cfg)
+    fam = registry.get_family(cfg)
     idx = state.counts[robot] - 1
     slot = robot * K + idx
-    descriptor = sc.ScanContext(
-        state.desc_db.descriptors[slot],
-        state.desc_db.keys[slot],
-        jnp.mean(state.desc_db.descriptors[slot], axis=0),
-    )
-    match = sc.query(state.desc_db, descriptor, robot, idx, sc_cfg, mode="inter")
+    descriptor = fam.from_db(state.desc_db, slot)
+    match = fam.query(state.desc_db, descriptor, robot, idx, mode="inter")
     already = state.loop_target[slot] >= 0
     found = match.found & ~already
     cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])

@@ -1,0 +1,160 @@
+"""Scan-to-map ICP odometry — the in-framework LIO front end.
+
+The reference's odometry lives in sibling repos (LIO-SAM / FAST-LIO2 /
+LIO-Livox, selected by launch arg — reference ``launch/single_ugv.launch:2,8-92``,
+SURVEY §2.2): each maintains a local map and registers every deskewed scan
+against it. This module is the TPU-native equivalent of that contract
+(IMU-free, like the KITTI odometry benchmark): a fixed-capacity rolling
+local map with per-point normals, constant-velocity motion prediction, and
+point-to-plane scan-to-map ICP per frame — one jitted update.
+
+Produces the per-frame poses the back end consumes
+(``Mapper.add_frame``); accuracy on structured scenes is keyframe-grade
+(the back end's loop closures absorb residual drift).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3, so3
+from ..ops import pointcloud as pc
+from ..ops import registration as reg
+
+
+class OdometryConfig(NamedTuple):
+    map_capacity: int = 32768       # rolling local map points
+    scan_capacity: int = 4096       # downsampled input scan points
+    scan_leaf: float = 0.5
+    map_leaf: float = 0.5
+    icp_iters: int = 12
+    max_corr_dist: float = 2.0
+    normal_knn: int = 12
+    insert_every: int = 1           # insert scan into the map every N frames
+
+
+class OdometryState(NamedTuple):
+    map_xyz: jax.Array        # [M, 3]
+    map_mask: jax.Array       # [M]
+    map_normals: jax.Array    # [M, 3]
+    pose: se3.Pose            # current sensor pose in odom frame
+    prev_pose: se3.Pose       # pose at previous frame (for const-velocity)
+    frame: jax.Array          # int32 counter
+
+
+def make_odometry(cfg: OdometryConfig) -> OdometryState:
+    return OdometryState(
+        map_xyz=jnp.full((cfg.map_capacity, 3), pc.PAD_VALUE, jnp.float32),
+        map_mask=jnp.zeros((cfg.map_capacity,), bool),
+        map_normals=jnp.zeros((cfg.map_capacity, 3), jnp.float32),
+        pose=se3.identity(),
+        prev_pose=se3.identity(),
+        frame=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(
+    state: OdometryState, xyz: jax.Array, mask: jax.Array, cfg: OdometryConfig
+):
+    """One frame: predict, register, and merge into the local map.
+
+    Returns (new_state, pose, fitness).
+    """
+    scan = pc.voxel_downsample(pc.Cloud(xyz, mask), cfg.scan_leaf, cfg.scan_capacity)
+
+    # constant-velocity prediction: pose * (prev_pose^-1 * pose)
+    vel = se3.between(state.prev_pose, state.pose)
+    pred = se3.compose(state.pose, vel)
+    pred = se3.Pose(so3.orthonormalize(pred.R), pred.t)
+
+    first = state.frame == 0
+    target = pc.Cloud(state.map_xyz, state.map_mask)
+    res = reg.icp_point_to_plane(
+        scan,
+        target,
+        state.map_normals,
+        init=pred,
+        max_iters=cfg.icp_iters,
+        max_corr_dist=cfg.max_corr_dist,
+    )
+    new_pose = se3.Pose(
+        jnp.where(first, state.pose.R, res.pose.R),
+        jnp.where(first, state.pose.t, res.pose.t),
+    )
+
+    # merge scan (in odom frame) into the rolling map: keep newest points,
+    # overwrite oldest slots ring-buffer style, then refresh normals for the
+    # written span only (cheap: normals of untouched points are unchanged)
+    world = se3.transform_points(new_pose, scan.xyz)
+    world = jnp.where(scan.mask[:, None], world, pc.PAD_VALUE)
+    S = cfg.scan_capacity
+    start = (state.frame * S) % cfg.map_capacity
+    rows = (start + jnp.arange(S)) % cfg.map_capacity
+    do_insert = (state.frame % cfg.insert_every) == 0
+    map_xyz = jnp.where(
+        do_insert, state.map_xyz.at[rows].set(world), state.map_xyz
+    )
+    map_mask = jnp.where(
+        do_insert, state.map_mask.at[rows].set(scan.mask), state.map_mask
+    )
+
+    # normals for newly written points from the updated map
+    sub = pc.Cloud(map_xyz, map_mask)
+    new_norms = _normals_for_rows(sub, rows, cfg.normal_knn)
+    map_normals = jnp.where(
+        do_insert, state.map_normals.at[rows].set(new_norms), state.map_normals
+    )
+
+    new_state = OdometryState(
+        map_xyz=map_xyz,
+        map_mask=map_mask,
+        map_normals=map_normals,
+        pose=new_pose,
+        prev_pose=state.pose,
+        frame=state.frame + 1,
+    )
+    return new_state, new_pose, res.fitness
+
+
+def _normals_for_rows(cloud: pc.Cloud, rows: jax.Array, k: int) -> jax.Array:
+    """Normals only for ``rows`` of the map (k-NN covariance eigenvector)."""
+    xyz = jnp.where(cloud.mask[:, None], cloud.xyz, pc.PAD_VALUE)
+    q = xyz[rows]
+    # brute-force k-NN of the row points against the whole map
+    def block(qb):
+        diff = qb[:, None, :] - xyz[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx
+
+    nb = max(1, q.shape[0] // 512)
+    idx = jax.lax.map(block, q.reshape(nb, -1, 3)).reshape(q.shape[0], k)
+    nbrs = xyz[idx]
+    mean = jnp.mean(nbrs, axis=1, keepdims=True)
+    c = nbrs - mean
+    cov = jnp.einsum("nki,nkj->nij", c, c) / k
+    _, vecs = jnp.linalg.eigh(cov)
+    normal = vecs[..., 0]
+    # orient towards the sensor (approximately: towards -point direction)
+    flip = jnp.sum(normal * (-q), axis=-1) < 0
+    return jnp.where(flip[:, None], -normal, normal)
+
+
+class Odometry:
+    """Host-side convenience wrapper."""
+
+    def __init__(self, cfg: OdometryConfig = OdometryConfig()):
+        self.cfg = cfg
+        self.state = make_odometry(cfg)
+
+    def step(self, xyz: np.ndarray) -> tuple[se3.Pose, float]:
+        cloud = pc.from_points(xyz, self.cfg.scan_capacity * 2)
+        self.state, pose, fitness = odometry_step(
+            self.state, cloud.xyz, cloud.mask, self.cfg
+        )
+        return pose, float(fitness)

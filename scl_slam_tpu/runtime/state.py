@@ -67,21 +67,18 @@ class MapperState(NamedTuple):
         return se3.Pose(self.opt_R, self.opt_t)
 
 
+def _family_db(cfg: SlamConfig, capacity: int):
+    from ..descriptors import registry
+
+    return registry.get_family(cfg).make_db(capacity)
+
+
 def make_state(cfg: SlamConfig) -> MapperState:
     R = cfg.number_of_robots
     K = cfg.keyframe.max_keyframes
     P = cfg.keyframe.points_per_keyframe
     S = R * K
     Q = cfg.loop.queue_capacity
-    sc_cfg = sc.ScanContextConfig(
-        num_rings=cfg.scan_context.num_rings,
-        num_sectors=cfg.scan_context.num_sectors,
-        max_radius=cfg.scan_context.max_radius,
-        lidar_height=cfg.scan_context.lidar_height,
-        num_candidates=cfg.scan_context.num_candidates,
-        exclude_recent=cfg.scan_context.exclude_recent,
-        distance_threshold=cfg.scan_context.distance_threshold,
-    )
     eye = jnp.broadcast_to(jnp.eye(3), (S, 3, 3))
     return MapperState(
         kf_xyz=jnp.full((S, P, 3), 1e6, jnp.float32),
@@ -92,7 +89,7 @@ def make_state(cfg: SlamConfig) -> MapperState:
         opt_t=jnp.zeros((S, 3), jnp.float32),
         stamps=jnp.zeros((S,), jnp.float32),
         counts=jnp.zeros((R,), jnp.int32),
-        desc_db=sc.make_db(S, sc_cfg),
+        desc_db=_family_db(cfg, S),
         graph=F.make_graph(cfg.optimizer.edge_capacity, cfg.optimizer.prior_capacity),
         loop_target=jnp.full((S,), -1, jnp.int32),
         loop_queue=LoopQueue(

@@ -45,7 +45,12 @@ def small_cfg(**kw):
             history_fitness_score=FITNESS_GATE,
         ),
         optimizer=OptimizerConfig(edge_capacity=512, gn_iters=6, cg_iters=48),
-        scan_context=ScanContextParams(exclude_recent=15, num_candidates=6),
+        # surface-sampled synthetic scans at 4k points/bin are noisier than
+        # dense real scans: 0.25 matches SC-LIO-SAM's shipped threshold
+        # (reference code default is 0.14 for full-density scans)
+        scan_context=ScanContextParams(
+            exclude_recent=15, num_candidates=6, distance_threshold=0.25
+        ),
         **kw,
     )
 
