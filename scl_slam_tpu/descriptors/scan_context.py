@@ -140,6 +140,30 @@ def to_wire(sc: ScanContext) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "mode"))
+def query_batch(
+    db: base.DescriptorDB,
+    images: jax.Array,
+    ring_keys: jax.Array,
+    query_robots: jax.Array,
+    query_indices: jax.Array,
+    cfg: ScanContextConfig,
+    mode: str = "intra",
+) -> base.Match:
+    """Vmapped multi-query retrieval: B queries against the DB in one call.
+
+    The serving-throughput path (BASELINE loop-closure queries/s): candidate
+    ring-key distances for all queries form one [B, N] matrix and the
+    shifted-distance stage batches over (B x K) candidates on the MXU.
+    """
+
+    def one(img, key, robot, index):
+        sc = ScanContext(img, key, jnp.mean(img, axis=0))
+        return query(db, sc, robot, index, cfg, mode)
+
+    return jax.vmap(one)(images, ring_keys, query_robots, query_indices)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
 def query(
     db: base.DescriptorDB,
     sc: ScanContext,

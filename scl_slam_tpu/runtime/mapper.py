@@ -32,14 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
-from ..descriptors import base as desc_base
 from ..descriptors import registry
 from ..geometry import se3, so3
 from ..graph import factors as F
 from ..graph import solver
 from ..ops import pointcloud as pc
 from ..ops import registration as reg
-from .state import LoopQueue, MapperState, make_state, scan_context_config
+from .state import LoopQueue, MapperState, make_state
 
 
 class LoopCandidate(NamedTuple):

@@ -122,6 +122,34 @@ class TestQueryDB:
         m = sc.query(db, d, jnp.array(0), jnp.array(0), CFG, mode="intra")
         assert not bool(m.found)
 
+    def test_query_batch_matches_single(self):
+        db, clouds = self._build_db()
+        imgs = []
+        keys = []
+        for c in [clouds[3], clouds[7], clouds[11]]:
+            d = sc.make(rotate_cloud(c, 0.25), CFG)
+            imgs.append(d.image)
+            keys.append(d.ring_key)
+        B = len(imgs)
+        out = sc.query_batch(
+            db, jnp.stack(imgs), jnp.stack(keys),
+            jnp.zeros(B, jnp.int32), jnp.full(B, 30, jnp.int32), CFG, mode="intra",
+        )
+        found_any = 0
+        for b in range(B):
+            single = sc.query(
+                db, sc.ScanContext(imgs[b], keys[b], jnp.mean(imgs[b], axis=0)),
+                jnp.array(0), jnp.array(30), CFG, mode="intra",
+            )
+            # batch must agree exactly with the single-query path
+            assert int(out.index[b]) == int(single.index)
+            assert bool(out.found[b]) == bool(single.found)
+            np.testing.assert_allclose(
+                float(out.distance[b]), float(single.distance), rtol=1e-5
+            )
+            found_any += int(single.found)
+        assert found_any >= 1  # at least one revisit must clear the gate
+
     def test_db_insert_capacity(self):
         db = sc.make_db(4, CFG)
         d = sc.make(ring_cloud(jax.random.PRNGKey(9)), CFG)
