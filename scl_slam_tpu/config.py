@@ -30,6 +30,7 @@ class DescriptorType(str, Enum):
     M2DP = "m2dp"
     GRSD = "grsd"
     FPFH = "fpfh"
+    SHOT = "shot"
 
 
 @dataclass(frozen=True)

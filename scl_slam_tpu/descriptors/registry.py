@@ -151,4 +151,12 @@ def get_family(cfg: SlamConfig) -> Family:
             3 * f_cfg.num_bins,
             f_cfg,
         )
+    if kind == DescriptorType.SHOT:
+        s_cfg = shot.SHOTConfig()
+        return _vector_family(
+            "shot",
+            lambda cloud: shot.shot_make(cloud, s_cfg).descriptor,
+            s_cfg.dim,
+            s_cfg,
+        )
     raise ValueError(f"unknown descriptor type {kind}")

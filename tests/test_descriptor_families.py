@@ -19,7 +19,7 @@ from scl_slam_tpu.descriptors import registry
 from scl_slam_tpu.geometry import se3
 from scl_slam_tpu.runtime import Mapper
 
-FAMILIES = ["scan_context", "lidar_iris", "m2dp", "grsd", "fpfh"]
+FAMILIES = ["scan_context", "lidar_iris", "m2dp", "grsd", "fpfh", "shot"]
 
 
 def family_cfg(kind):
