@@ -32,7 +32,7 @@ def main():
         SlamConfig,
     )
     from scl_slam_tpu.geometry import se3
-    from scl_slam_tpu.runtime.mapper import _detect_intra, _ingest
+    from scl_slam_tpu.runtime.mapper import _ingest_and_detect
     from scl_slam_tpu.runtime.state import make_state
 
     cfg = SlamConfig(
@@ -63,10 +63,9 @@ def main():
 
     def frame_step(state, xyz, k):
         pose = se3.Pose(jnp.eye(3), jnp.array([1.0, 0.0, 0.0]) * k)
-        state, wire = _ingest(
+        state, wire, ok, match, fit = _ingest_and_detect(
             state, jnp.array(0), pose, xyz, mask, jnp.array(0.0, jnp.float32), cfg
         )
-        state, ok, match, fit = _detect_intra(state, jnp.array(0), cfg)
         return state, (ok, fit)
 
     # warm up (compile) with a few frames

@@ -294,6 +294,27 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _ingest_and_detect(
+    state: MapperState,
+    robot: jax.Array,
+    pose: se3.Pose,
+    xyz: jax.Array,
+    mask: jax.Array,
+    stamp: jax.Array,
+    cfg: SlamConfig,
+):
+    """Fused keyframe step: ingest + intra-loop detection in one dispatch.
+
+    The serving fast path — a single device program per keyframe instead of
+    two host round trips (each dispatch over a remote-tunneled chip costs
+    ~0.3-0.5 ms of latency that the fused form hides).
+    """
+    state, wire = _ingest(state, robot, pose, xyz, mask, stamp, cfg)
+    state, ok, match, fitness = _detect_intra(state, robot, cfg)
+    return state, wire, ok, match, fitness
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _detect_inter(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     """Inter-robot candidate detection (reference ``performInterLoopClosure``
 
@@ -481,6 +502,8 @@ class Mapper:
         self._bus = None
         self._verify_key = jax.random.PRNGKey(cfg.robot_id + 1)
         self._last_opt_time = float("-inf")
+        self._pending_intra = None
+        self._pending_intra_valid = False
 
     # -- keyframe gate (reference saveFrame, distributedMapping.h:755-780) --
     def should_add_keyframe(self, pose: se3.Pose) -> bool:
@@ -505,8 +528,7 @@ class Mapper:
             return None
         self._last_kf_pose = pose
         cloud = pc.from_points(xyz, self.cfg.keyframe.raw_points_capacity)
-        self.state, wire = _ingest(
-            self.state,
+        args = (
             jnp.array(self.robot),
             pose,
             cloud.xyz,
@@ -514,6 +536,32 @@ class Mapper:
             jnp.array(stamp, jnp.float32),
             self.cfg,
         )
+        # fused fast path: when intra detection would run for this keyframe
+        # anyway, do ingest+detect as one device program (halves per-keyframe
+        # dispatch latency); spin_once consumes the stored result
+        detection_due = (
+            self.cfg.loop.intra_enabled
+            and self._keyframes + 1 > self.cfg.scan_context.exclude_recent + 1
+        )
+        if detection_due:
+            self.state, wire, ok, match, fitness = _ingest_and_detect(
+                self.state, *args
+            )
+            self._pending_intra = (
+                {
+                    "matched_index": int(match.index),
+                    "distance": float(match.distance),
+                    "fitness": float(fitness),
+                    "yaw": float(match.yaw),
+                }
+                if bool(ok)
+                else None
+            )
+            self._pending_intra_valid = True
+        else:
+            self.state, wire = _ingest(self.state, *args)
+            self._pending_intra = None
+            self._pending_intra_valid = False
         self._keyframes += 1
         return np.asarray(wire)
 
@@ -548,6 +596,11 @@ class Mapper:
         """Try closing a loop on the latest own keyframe."""
         if not self.cfg.loop.intra_enabled or self._keyframes < 2:
             return None
+        # result already produced by the fused add_frame path
+        if self._pending_intra_valid:
+            self._pending_intra_valid = False
+            out, self._pending_intra = self._pending_intra, None
+            return out
         # nothing can match while every DB entry is inside the recent-
         # exclusion window — skip the device round-trip entirely
         if self._keyframes <= self.cfg.scan_context.exclude_recent + 1:
