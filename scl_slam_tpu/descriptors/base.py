@@ -70,10 +70,23 @@ def db_insert(
     key: jax.Array,
     robot: jax.Array | int,
     index: jax.Array | int,
+    pos: jax.Array | int | None = None,
 ) -> DescriptorDB:
-    """Functional append at position ``count`` (no-op if full)."""
-    pos = jnp.minimum(db.count, db.capacity - 1)
-    ok = db.count < db.capacity
+    """Functional insert.
+
+    With ``pos`` (the global keyframe slot robot*K+index): deterministic
+    slot-addressed storage — REQUIRED in multi-robot runs, where append order
+    interleaves robots' streams and row position would no longer equal the
+    keyframe slot the retrieval side reads. Without ``pos``: append at
+    ``count`` (single-stream convenience; no-op when full).
+    """
+    if pos is None:
+        pos = jnp.minimum(db.count, db.capacity - 1)
+        ok = db.count < db.capacity
+    else:
+        pos = jnp.asarray(pos)
+        ok = (pos >= 0) & (pos < db.capacity)
+        pos = jnp.clip(pos, 0, db.capacity - 1)
     return DescriptorDB(
         descriptors=db.descriptors.at[pos].set(
             jnp.where(ok, descriptor, db.descriptors[pos])
@@ -131,8 +144,9 @@ def candidate_mask(
     ``mode='inter'``: other robots only (reference inter-detect searches other
     robots' DBs when the query is its own, ``include/descriptor.h:1150-1250``).
     """
-    slots = jnp.arange(db.capacity)
-    valid = slots < db.count
+    # occupancy by marker, not count: slot-addressed multi-robot inserts
+    # leave holes in row order (robot r occupies rows r*K..r*K+count_r)
+    valid = db.index >= 0
     same = db.robot == query_robot
     if mode == "intra":
         not_recent = db.index < (query_index - exclude_recent)

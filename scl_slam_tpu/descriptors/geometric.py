@@ -182,8 +182,8 @@ def make_db(capacity: int, dim: int) -> base.DescriptorDB:
     return base.make_db(capacity, (dim,), dim)
 
 
-def insert(db: base.DescriptorDB, desc: jax.Array, robot, index) -> base.DescriptorDB:
-    return base.db_insert(db, desc, desc, robot, index)
+def insert(db: base.DescriptorDB, desc: jax.Array, robot, index, pos=None) -> base.DescriptorDB:
+    return base.db_insert(db, desc, desc, robot, index, pos)
 
 
 @partial(jax.jit, static_argnames=("num_candidates", "exclude_recent", "threshold", "mode"))

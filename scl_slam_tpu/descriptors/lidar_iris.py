@@ -204,8 +204,8 @@ def make_db(capacity: int, cfg: LidarIrisConfig) -> base.DescriptorDB:
     return base.make_db(capacity, (cfg.rows, cfg.cols), cfg.rows)
 
 
-def insert(db: base.DescriptorDB, iris: Iris, robot, index) -> base.DescriptorDB:
-    return base.db_insert(db, iris.image, iris.row_key, robot, index)
+def insert(db: base.DescriptorDB, iris: Iris, robot, index, pos=None) -> base.DescriptorDB:
+    return base.db_insert(db, iris.image, iris.row_key, robot, index, pos)
 
 
 def to_wire(iris: Iris) -> jax.Array:

@@ -111,8 +111,8 @@ def make_db(capacity: int, cfg: M2DPConfig) -> base.DescriptorDB:
     return base.make_db(capacity, (dim,), dim)
 
 
-def insert(db: base.DescriptorDB, d: M2DP, robot, index) -> base.DescriptorDB:
-    return base.db_insert(db, d.descriptor, d.descriptor, robot, index)
+def insert(db: base.DescriptorDB, d: M2DP, robot, index, pos=None) -> base.DescriptorDB:
+    return base.db_insert(db, d.descriptor, d.descriptor, robot, index, pos)
 
 
 def to_wire(d: M2DP) -> jax.Array:

@@ -67,7 +67,7 @@ def _vector_family(name, make_fn, dim, params) -> Family:
         make=make_fn,
         make_db=lambda capacity: geometric.make_db(capacity, dim),
         from_db=lambda db, slot: db.descriptors[slot],
-        insert=lambda db, d, r, i: geometric.insert(db, d, r, i),
+        insert=lambda db, d, r, i, pos=None: geometric.insert(db, d, r, i, pos),
         query=query,
         to_wire=lambda d: d,
         from_wire=lambda v: v,
@@ -129,7 +129,7 @@ def get_family(cfg: SlamConfig) -> Family:
             make=lambda cloud: m2dp.make(cloud, m_cfg),
             make_db=lambda capacity: m2dp.make_db(capacity, m_cfg),
             from_db=lambda db, slot: m2dp.M2DP(db.descriptors[slot]),
-            insert=lambda db, d, r, i: m2dp.insert(db, d, r, i),
+            insert=lambda db, d, r, i, pos=None: m2dp.insert(db, d, r, i, pos),
             query=lambda db, d, r, i, mode: m2dp.query(db, d, r, i, m_cfg, mode=mode),
             to_wire=m2dp.to_wire,
             from_wire=lambda v: m2dp.from_wire(v, m_cfg),

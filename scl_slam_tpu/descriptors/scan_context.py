@@ -121,9 +121,9 @@ def make_db(capacity: int, cfg: ScanContextConfig) -> base.DescriptorDB:
 
 
 def insert(
-    db: base.DescriptorDB, sc: ScanContext, robot, index
+    db: base.DescriptorDB, sc: ScanContext, robot, index, pos=None
 ) -> base.DescriptorDB:
-    return base.db_insert(db, sc.image, sc.ring_key, robot, index)
+    return base.db_insert(db, sc.image, sc.ring_key, robot, index, pos)
 
 
 def from_wire(values: jax.Array, cfg: ScanContextConfig) -> ScanContext:

@@ -114,7 +114,7 @@ def _ingest(
     # descriptor via the configured family (Scan Context / Iris / M2DP / ...)
     fam = registry.get_family(cfg)
     descriptor = fam.make(cloud)
-    desc_db = fam.insert(state.desc_db, descriptor, robot, idx)
+    desc_db = fam.insert(state.desc_db, descriptor, robot, idx, pos=slot)
 
     state = state._replace(
         kf_xyz=state.kf_xyz.at[slot].set(small.xyz),
@@ -167,7 +167,7 @@ def _ingest_peer(
 
     fam = registry.get_family(cfg)
     descriptor = fam.from_wire(wire)
-    desc_db = fam.insert(state.desc_db, descriptor, robot, index)
+    desc_db = fam.insert(state.desc_db, descriptor, robot, index, pos=slot)
 
     prev_slot = jnp.maximum(slot - 1, robot * K)
     prev_opt = se3.Pose(state.opt_R[prev_slot], state.opt_t[prev_slot])
@@ -341,8 +341,7 @@ def _verify_ransac(
     state: MapperState,
     cloud_xyz: jax.Array,
     cloud_mask: jax.Array,
-    robot_cur: jax.Array,
-    index_cur: jax.Array,
+    cur_pose_est: se3.Pose,
     robot_pre: jax.Array,
     index_pre: jax.Array,
     key: jax.Array,
@@ -352,13 +351,13 @@ def _verify_ransac(
 
     ``geometricVerificationService``, ``distributedMapping.h:1189-1268``):
     RANSAC+SVD of the received cloud against the local submap around
-    (robot_pre, index_pre). The requester's pose estimate ("tfWrong") is our
-    mirrored copy of its trajectory (descriptor-stream ingestion keeps every
-    robot's chain locally, ``:571-587``). Returns
+    (robot_pre, index_pre). ``cur_pose_est`` is the requester's own estimate
+    used to map-frame the cloud (carried in the request — see
+    transport.VerifyRequest for why the reference's mirrored "tfWrong" is
+    wrong once estimates diverge). Returns
     (success, z = T_pre^-1 * T_cur_corrected, inlier_ratio)."""
     K = cfg.keyframe.max_keyframes
     pre_slot = robot_pre * K + index_pre
-    cur_slot = robot_cur * K + index_cur
 
     submap = _gather_submap(state, pre_slot, robot_pre, cfg)
     source = pc.Cloud(cloud_xyz, cloud_mask)
@@ -370,9 +369,9 @@ def _verify_ransac(
         inlier_thresh=cfg.loop.ransac_outlier_threshold,
         min_inlier_ratio=cfg.loop.ransac_inlier_ratio,
     )
-    # corrected requester pose: alignment transform composed onto its mirror
-    t_wrong = se3.Pose(state.opt_R[cur_slot], state.opt_t[cur_slot])
-    corrected = se3.compose(res.pose, t_wrong)
+    # corrected requester pose: alignment transform composed onto the
+    # estimate that produced the transmitted cloud
+    corrected = se3.compose(res.pose, cur_pose_est)
     pre_pose = se3.Pose(state.opt_R[pre_slot], state.opt_t[pre_slot])
     z = se3.between(pre_pose, corrected)
     return res.success, z, res.inlier_ratio
@@ -695,6 +694,11 @@ class Mapper:
         robot_pre = int(match.robot)
         index_pre = int(match.index)
         idx_cur = int(self.state.counts[self.robot]) - 1
+        K0 = self.cfg.keyframe.max_keyframes
+        cur_slot = self.robot * K0 + idx_cur
+        cur_est = np.eye(4)
+        cur_est[:3, :3] = np.asarray(self.state.opt_R[cur_slot])
+        cur_est[:3, 3] = np.asarray(self.state.opt_t[cur_slot])
         req = VerifyRequest(
             robot_cur=self.robot,
             index_cur=idx_cur,
@@ -702,6 +706,7 @@ class Mapper:
             index_pre=index_pre,
             cloud_xyz=np.asarray(cloud_xyz),
             cloud_mask=np.asarray(cloud_mask),
+            cur_pose_est=cur_est,
         )
         resp = self._bus.verify(robot_pre, req)
         if not resp.success:
@@ -731,12 +736,15 @@ class Mapper:
         from .transport import VerifyResponse
 
         self._verify_key, sub = jax.random.split(self._verify_key)
+        cur_est = se3.Pose(
+            jnp.asarray(req.cur_pose_est[:3, :3], jnp.float32),
+            jnp.asarray(req.cur_pose_est[:3, 3], jnp.float32),
+        )
         success, z, ratio = _verify_ransac(
             self.state,
             jnp.asarray(req.cloud_xyz),
             jnp.asarray(req.cloud_mask),
-            jnp.array(req.robot_cur),
-            jnp.array(req.index_cur),
+            cur_est,
             jnp.array(req.robot_pre),
             jnp.array(req.index_pre),
             sub,
@@ -744,6 +752,19 @@ class Mapper:
         )
         if not bool(success):
             return VerifyResponse(False, None, float(ratio))
+        # the verified factor joins BOTH graphs (reference adds it to both
+        # robots' DistributedMappers, distributedMapping.h:1373-1374): queue
+        # it server-side too, so the serving robot's joint solve also
+        # benefits without waiting for a reciprocal detection
+        K = self.cfg.keyframe.max_keyframes
+        self.state = _queue_loop(
+            self.state,
+            jnp.array(req.robot_pre * K + req.index_pre),
+            jnp.array(req.robot_cur * K + req.index_cur),
+            z,
+            jnp.array(max(1e-3, 1.0 - float(ratio)), jnp.float32),
+            self.cfg,
+        )
         T = np.eye(4)
         T[:3, :3] = np.asarray(z.R)
         T[:3, 3] = np.asarray(z.t)

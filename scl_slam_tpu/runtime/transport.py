@@ -37,14 +37,23 @@ class DescriptorMsg:
 
 @dataclass
 class VerifyRequest:
-    """``geometric_verification`` request (reference ``srv/geometric_verification.srv``)."""
+    """``geometric_verification`` request (reference ``srv/geometric_verification.srv``).
+
+    ``cur_pose_est``: the requester's own current pose estimate — the exact
+    transform used to put ``cloud_xyz`` into its map frame. The reference
+    instead uses the server's *mirror* of the requester's trajectory as
+    "tfWrong"; that mirror diverges from the requester's estimate once each
+    robot optimizes independently, silently corrupting every inter-robot
+    factor by the difference. Shipping the estimate used for the transform
+    makes the factor exact regardless of estimate divergence."""
 
     robot_cur: int
     index_cur: int
     robot_pre: int
     index_pre: int
     cloud_xyz: np.ndarray   # [N, 3] in requester's map frame
-    cloud_mask: np.ndarray  # [N]
+    cloud_mask: np.ndarray
+    cur_pose_est: np.ndarray  # [4, 4]  # [N]
 
 
 @dataclass

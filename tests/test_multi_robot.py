@@ -111,6 +111,102 @@ class TestTwoRobots:
         ate = tio.ate_rmse(est_b, gt_b)
         assert ate < 1.0
 
+    def test_inter_loops_correct_peer_drift(self):
+        """Robot b drifts; cross-robot loops + joint optimize must shrink its
+
+        error below dead reckoning — the collaborative-mapping payoff."""
+        import jax
+
+        world = kitti.SyntheticWorld(
+            seed=9, extent=100.0, n_clusters=70, pts_per_cluster=800
+        )
+        gt = kitti.loop_trajectory(n_frames=64, radius=32.0, revisit=False)
+        split = [list(range(0, 40)), list(range(28, 64))]
+
+        bus = LocalBus()
+        cfg0, cfg1 = robot_cfg(0), robot_cfg(1)
+        cfg1 = dataclasses.replace(
+            cfg1,
+            optimizer=dataclasses.replace(
+                cfg1.optimizer,
+                odometry_sigmas=(0.005,) * 3 + (0.05,) * 3,
+                loop_noise_scale=0.05,
+            ),
+        )
+        cfg0 = dataclasses.replace(cfg0, optimizer=cfg1.optimizer)
+        mappers = [Mapper(cfg0), Mapper(cfg1)]
+        for m in mappers:
+            m.attach_bus(bus)
+
+        # robot b's odometry drifts forward
+        drift = se3.exp(jnp.array([0, 0, 0.001, 0.05, 0.0, 0.0]))
+        b_poses = {}
+        prev = None
+        for k in split[1]:
+            cur_gt = se3.Pose(
+                jnp.asarray(gt[k][:3, :3], jnp.float32),
+                jnp.asarray(gt[k][:3, 3], jnp.float32),
+            )
+            if prev is None:
+                b_poses[k] = cur_gt
+            else:
+                inc_np = np.linalg.inv(gt[k - 1]) @ gt[k]
+                inc = se3.Pose(
+                    jnp.asarray(inc_np[:3, :3], jnp.float32),
+                    jnp.asarray(inc_np[:3, 3], jnp.float32),
+                )
+                b_poses[k] = se3.compose(b_poses[k - 1], se3.compose(inc, drift))
+            prev = k
+
+        n_inter = 0
+        for step in range(max(len(s) for s in split)):
+            for rid, frames in enumerate(split):
+                if step >= len(frames):
+                    continue
+                k = frames[step]
+                scan = world.scan_at(gt[k], max_points=4096, seed=k)
+                if rid == 0:
+                    pose = se3.Pose(
+                        jnp.asarray(gt[k][:3, :3], jnp.float32),
+                        jnp.asarray(gt[k][:3, 3], jnp.float32),
+                    )
+                else:
+                    pose = b_poses[k]
+                wire = mappers[rid].add_frame(pose, scan, stamp=0.1 * k)
+                if wire is not None:
+                    mappers[rid].broadcast_latest(wire)
+                    info = mappers[rid].spin_once()
+                    if info.get("inter_loop"):
+                        n_inter += 1
+        for m in mappers:
+            m.optimize()
+
+        assert n_inter >= 1, "overlapping arcs must produce inter-robot loops"
+        # robot b's own optimized trajectory vs gt, compared to dead reckoning
+        est_b = mappers[1].trajectory(robot=1)
+        stamps_b = mappers[1].keyframe_stamps(robot=1)
+        frame_ids = [int(round(float(s) / 0.1)) for s in stamps_b]
+        gt_b = np.stack([gt[k] for k in frame_ids])
+        dead_b = np.stack(
+            [np.asarray(se3.to_matrix(b_poses[k])) for k in frame_ids]
+        )
+        ate_opt = tio.ate_rmse(est_b, gt_b)
+        ate_dead = tio.ate_rmse(dead_b, gt_b)
+        # loops only anchor the overlap region (b's early, low-drift frames);
+        # the guarantee is improvement + cross-robot consistency, not a fix
+        # of unobserved segments
+        assert ate_opt < ate_dead, (
+            f"inter-robot loops must reduce b's ATE: {ate_opt} vs {ate_dead}"
+        )
+        # both robots' joint solves must agree on b's trajectory
+        est_b_from_a = mappers[0].trajectory(robot=1)
+        ate_b_from_a = tio.ate_rmse(est_b_from_a, gt_b)
+        assert abs(ate_b_from_a - ate_opt) < 0.2, (
+            f"views diverge: a sees {ate_b_from_a}, b sees {ate_opt}"
+        )
+        # server-side factor sharing: b's graph must hold the verified loops
+        assert len(mappers[1].loop_constraints()) >= n_inter // 2
+
     def test_out_of_order_descriptor_dropped(self):
         m = Mapper(robot_cfg(0))
         wire = np.zeros(20 * 60, np.float32)

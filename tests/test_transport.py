@@ -40,7 +40,9 @@ class TestLocalBus:
         bus.register(
             1, lambda m: None, lambda req: VerifyResponse(True, np.eye(4), 0.9)
         )
-        resp = bus.verify(1, VerifyRequest(0, 5, 1, 3, np.zeros((4, 3)), np.ones(4)))
+        resp = bus.verify(
+            1, VerifyRequest(0, 5, 1, 3, np.zeros((4, 3)), np.ones(4), np.eye(4))
+        )
         assert resp.success and resp.inlier_ratio == 0.9
 
 
@@ -68,7 +70,7 @@ class TestTcpBus:
             )
 
             resp = bus0.verify(
-                1, VerifyRequest(0, 5, 1, 3, np.zeros((8, 3), np.float32), np.ones(8, bool))
+                1, VerifyRequest(0, 5, 1, 3, np.zeros((8, 3), np.float32), np.ones(8, bool), np.eye(4))
             )
             assert resp.success and abs(resp.inlier_ratio - 0.5) < 1e-9
         finally:
