@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -39,18 +38,6 @@ from ..graph import solver
 from ..ops import pointcloud as pc
 from ..ops import registration as reg
 from .state import LoopQueue, MapperState, make_state
-
-
-class LoopCandidate(NamedTuple):
-    """Inter-robot candidate needing remote geometric verification."""
-
-    robot_cur: int
-    index_cur: int
-    robot_pre: int
-    index_pre: int
-    cloud_xyz: np.ndarray   # query keyframe cloud in its map frame
-    cloud_mask: np.ndarray
-    yaw_hint: float
 
 
 # ---------------------------------------------------------------------------
