@@ -58,7 +58,39 @@ def main(argv=None):
     from .io import trajectory as tio
     from .runtime import Mapper
 
-    cfg = load_config(args.config) if args.config else SlamConfig()
+    if args.config:
+        cfg = load_config(args.config)
+    elif args.dataset == "synthetic":
+        # demo-scale defaults: the KITTI-tuned exclusion window (100
+        # keyframes) would block every loop in a short run, the synthetic
+        # sampling density needs denser keyframe storage for ICP to verify
+        # under drift, and short sessions don't need 4096-keyframe capacity
+        import dataclasses
+
+        from .config import KeyframeConfig, ScanContextParams
+
+        cfg = SlamConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            keyframe=KeyframeConfig(
+                max_keyframes=512,
+                points_per_keyframe=8192,
+                raw_points_capacity=32768,
+                distance_threshold=1.0,
+                descript_leaf_size=0.3,
+            ),
+            scan_context=ScanContextParams(
+                exclude_recent=15, distance_threshold=0.25
+            ),
+            loop=dataclasses.replace(
+                cfg.loop,
+                history_fitness_score=8.0,
+                submap_capacity=16384,
+                near_keyframes=15,
+            ),
+        )
+    else:
+        cfg = SlamConfig()
     mapper = Mapper(cfg)
 
     if args.dataset == "kitti":
@@ -71,8 +103,13 @@ def main(argv=None):
         get_odom = seq.gt_pose_velo  # stand-in odometry (front ends live upstream)
         gt_of = seq.gt_pose_velo
     else:
-        world = kio.SyntheticWorld(seed=args.seed)
-        gt = kio.loop_trajectory(n_frames=args.frames, radius=70.0)
+        world = kio.SyntheticWorld(
+            seed=args.seed, extent=120.0, pts_per_cluster=800, max_range=50.0
+        )
+        # radius chosen so frame spacing is ~1.5 m (sensor-rate scale; the
+        # ICP odometry correspondence gate assumes it)
+        radius = max(10.0, args.frames * 1.5 / (2 * np.pi * 1.25))
+        gt = kio.loop_trajectory(n_frames=args.frames, radius=radius)
         n = args.frames
         drift = np.eye(4)
         drift[0, 3] = args.odom_drift
@@ -80,7 +117,7 @@ def main(argv=None):
         for k in range(1, n):
             inc = np.linalg.inv(gt[k - 1]) @ gt[k]
             odom_accum.append(odom_accum[-1] @ inc @ drift)
-        get_scan = lambda k: world.scan_at(gt[k], max_points=16384, seed=k)
+        get_scan = lambda k: world.scan_at(gt[k], max_points=32768, seed=k)
         get_odom = lambda k: odom_accum[k]
         gt_of = lambda k: gt[k]
 
