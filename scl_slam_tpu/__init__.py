@@ -19,3 +19,17 @@ import jax as _jax
 # product here; the matmuls on our hot paths are tiny-K contractions where
 # full precision costs almost nothing.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+from .config import DescriptorType, SlamConfig, load_config  # noqa: E402
+from .geometry import Pose  # noqa: E402
+
+__all__ = ["SlamConfig", "DescriptorType", "load_config", "Pose", "Mapper"]
+
+
+def __getattr__(name):
+    # lazy: runtime pulls in the full stack; keep bare import light
+    if name == "Mapper":
+        from .runtime import Mapper
+
+        return Mapper
+    raise AttributeError(name)
