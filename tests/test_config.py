@@ -32,7 +32,7 @@ class TestConfig:
             load_config({"not_a_key": 1})
 
     @pytest.mark.parametrize(
-        "name", ["kitti_velodyne.yaml", "two_robot_iris.yaml"]
+        "name", ["kitti_velodyne.yaml", "two_robot_iris.yaml", "four_robot_cityscale.yaml"]
     )
     def test_shipped_configs_load(self, name):
         cfg = load_config(os.path.join(CONFIG_DIR, name))
