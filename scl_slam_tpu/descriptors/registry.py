@@ -75,6 +75,25 @@ def _vector_family(name, make_fn, dim, params) -> Family:
     )
 
 
+def exclude_recent(cfg: SlamConfig) -> int:
+    """The active family's recent-exclusion window (host-side gating must
+    match what the family's query masks on device)."""
+    kind = cfg.descriptor_type
+    if kind == DescriptorType.SCAN_CONTEXT:
+        return cfg.scan_context.exclude_recent
+    if kind == DescriptorType.LIDAR_IRIS:
+        return cfg.lidar_iris.exclude_recent
+    if kind == DescriptorType.M2DP:
+        return m2dp.M2DPConfig().exclude_recent
+    if kind == DescriptorType.GRSD:
+        return geometric.GRSDConfig().exclude_recent
+    if kind == DescriptorType.FPFH:
+        return geometric.FPFHConfig().exclude_recent
+    if kind == DescriptorType.SHOT:
+        return shot.SHOTConfig().exclude_recent
+    raise ValueError(f"unknown descriptor type {kind}")
+
+
 def get_family(cfg: SlamConfig) -> Family:
     kind = cfg.descriptor_type
     if kind == DescriptorType.SCAN_CONTEXT:

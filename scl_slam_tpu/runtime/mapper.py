@@ -527,7 +527,7 @@ class Mapper:
         # dispatch latency); spin_once consumes the stored result
         detection_due = (
             self.cfg.loop.intra_enabled
-            and self._keyframes + 1 > self.cfg.scan_context.exclude_recent + 1
+            and self._keyframes + 1 > registry.exclude_recent(self.cfg) + 1
         )
         if detection_due:
             self.state, wire, ok, match, fitness = _ingest_and_detect(
@@ -589,7 +589,7 @@ class Mapper:
             return out
         # nothing can match while every DB entry is inside the recent-
         # exclusion window — skip the device round-trip entirely
-        if self._keyframes <= self.cfg.scan_context.exclude_recent + 1:
+        if self._keyframes <= registry.exclude_recent(self.cfg) + 1:
             return None
         self.state, ok, match, fitness = _detect_intra(
             self.state, jnp.array(self.robot), self.cfg
@@ -628,7 +628,7 @@ class Mapper:
             msg.robot, msg.index, pre, cur, msg.values, msg.stamp
         )
 
-    def broadcast_latest(self, wire: np.ndarray, stamp: float = 0.0) -> None:
+    def broadcast_latest(self, wire: np.ndarray) -> None:
         """Publish the latest keyframe's descriptor to peers (reference
 
         ``makeDescriptors`` publish, ``distributedMapping.h:1005-1024``)."""
