@@ -37,7 +37,7 @@ def main():
 
     cfg = SlamConfig(
         keyframe=KeyframeConfig(
-            max_keyframes=1024,
+            max_keyframes=4096,  # KITTI-00-scale DB capacity
             points_per_keyframe=4096,
             raw_points_capacity=65536,  # KITTI scans are ~120k pts; 64k after crop
         ),

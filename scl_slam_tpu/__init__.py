@@ -20,6 +20,26 @@ import jax as _jax
 # full precision costs almost nothing.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compile cache: first compiles over a remote-tunneled TPU take
+# minutes; cached reruns skip them entirely. Opt out with
+# SCL_SLAM_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("SCL_SLAM_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "SCL_SLAM_COMPILE_CACHE",
+        _os.path.join(
+            _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+            "scl_slam_tpu", "jax_cache",
+        ),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):
+        pass
+
 from .config import DescriptorType, SlamConfig, load_config  # noqa: E402
 from .geometry import Pose  # noqa: E402
 
