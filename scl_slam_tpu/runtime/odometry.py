@@ -59,16 +59,26 @@ def make_odometry(cfg: OdometryConfig) -> OdometryState:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def odometry_step(
-    state: OdometryState, xyz: jax.Array, mask: jax.Array, cfg: OdometryConfig
+    state: OdometryState,
+    xyz: jax.Array,
+    mask: jax.Array,
+    cfg: OdometryConfig,
+    imu_delta_R: jax.Array | None = None,
 ):
     """One frame: predict, register, and merge into the local map.
 
+    ``imu_delta_R``: optional gyro-preintegrated rotation over the frame
+    interval (see :mod:`.imu`) — replaces the rotational part of the
+    constant-velocity prediction, which is where that model is weakest.
     Returns (new_state, pose, fitness).
     """
     scan = pc.voxel_downsample(pc.Cloud(xyz, mask), cfg.scan_leaf, cfg.scan_capacity)
 
-    # constant-velocity prediction: pose * (prev_pose^-1 * pose)
+    # constant-velocity prediction: pose * (prev_pose^-1 * pose); gyro
+    # overrides the rotation when available
     vel = se3.between(state.prev_pose, state.pose)
+    if imu_delta_R is not None:
+        vel = se3.Pose(imu_delta_R, vel.t)
     pred = se3.compose(state.pose, vel)
     pred = se3.Pose(so3.orthonormalize(pred.R), pred.t)
 
@@ -152,9 +162,24 @@ class Odometry:
         self.cfg = cfg
         self.state = make_odometry(cfg)
 
-    def step(self, xyz: np.ndarray) -> tuple[se3.Pose, float]:
+    def step(
+        self,
+        xyz: np.ndarray,
+        gyro: np.ndarray | None = None,
+        imu_dt: np.ndarray | None = None,
+    ) -> tuple[se3.Pose, float]:
+        """Register one scan; optional gyro samples (body rates [N,3] with
+
+        per-sample intervals [N]) seed the rotation prediction."""
         cloud = pc.from_points(xyz, self.cfg.scan_capacity * 2)
+        imu_delta_R = None
+        if gyro is not None:
+            from .imu import gyro_delta_rotation
+
+            imu_delta_R = gyro_delta_rotation(
+                jnp.asarray(gyro, jnp.float32), jnp.asarray(imu_dt, jnp.float32)
+            )
         self.state, pose, fitness = odometry_step(
-            self.state, cloud.xyz, cloud.mask, self.cfg
+            self.state, cloud.xyz, cloud.mask, self.cfg, imu_delta_R
         )
         return pose, float(fitness)
