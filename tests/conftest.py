@@ -23,3 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: XLA CPU compiles dominate suite time on this box
 jax.config.update("jax_compilation_cache_dir", "/tmp/scl_slam_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+import numpy as _np
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="session")
+def mesh8():
+    """8-device mesh; fails loudly if the virtual-device flag didn't take."""
+    from jax.sharding import Mesh
+
+    devs = _np.array(jax.devices()[:8])
+    assert len(devs) == 8, "tests require the 8-device CPU mesh (see conftest)"
+    return Mesh(devs, ("shard",))

@@ -19,11 +19,9 @@ from test_graph import (
 )
 
 
-@pytest.fixture(scope="module")
-def mesh():
-    devs = np.array(jax.devices()[:8])
-    assert len(devs) == 8, "tests require the 8-device CPU mesh (see conftest)"
-    return Mesh(devs, ("shard",))
+@pytest.fixture()
+def mesh(mesh8):
+    return mesh8
 
 
 class TestShardedTopk:

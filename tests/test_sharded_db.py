@@ -18,10 +18,9 @@ from scl_slam_tpu.descriptors import base, scan_context as sc
 CFG = sc.ScanContextConfig(exclude_recent=5, num_candidates=8)
 
 
-@pytest.fixture(scope="module")
-def mesh():
-    devs = np.array(jax.devices()[:8])
-    return Mesh(devs, ("shard",))
+@pytest.fixture()
+def mesh(mesh8):
+    return mesh8
 
 
 def build_db(n=256):
