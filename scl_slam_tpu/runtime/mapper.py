@@ -413,6 +413,21 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
     q = state.loop_queue
     graph = state.graph
 
+    # defer factors whose endpoints reference keyframe slots this mapper has
+    # not ingested yet (server-side inter-robot factors can arrive ahead of
+    # the peer's descriptor chain when broadcasts drop; reference defers the
+    # same way, distributedMapping.h:790-795): such entries stay queued and
+    # are retried at the next drain
+    K = cfg.keyframe.max_keyframes
+
+    def slot_known(slot):
+        robot = slot // K
+        return (slot % K) < state.counts[robot]
+
+    in_queue = jnp.arange(q.i.shape[0]) < q.count
+    ready = in_queue & jax.vmap(slot_known)(q.i) & jax.vmap(slot_known)(q.j)
+    deferred = in_queue & ~ready
+
     if cfg.optimizer.use_pcm:
         # PCM outlier rejection over the queued loops (reference usePCM /
         # pcmThreshold, distributedMapping.h:525-535): keep only the largest
@@ -430,7 +445,7 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         accept = None
 
     def add_one(k, g):
-        valid = k < q.count
+        valid = ready[k]
         if accept is not None:
             valid = valid & accept[k]
         # reference semantics: loop noise is a VARIANCE equal to the ICP
@@ -455,11 +470,23 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         damping=cfg.optimizer.damping,
         huber_delta=cfg.optimizer.huber_delta,
     )
+    # compact deferred entries back to the queue front (stable order)
+    Q = q.i.shape[0]
+    order = jnp.argsort(~deferred, stable=True)
+    keep = lambda arr: jnp.take(arr, order, axis=0)
+    new_queue = LoopQueue(
+        i=keep(q.i),
+        j=keep(q.j),
+        z_R=keep(q.z_R),
+        z_t=keep(q.z_t),
+        noise=keep(q.noise),
+        count=jnp.sum(deferred).astype(jnp.int32),
+    )
     state = state._replace(
         graph=graph,
         opt_R=result.poses.R,
         opt_t=result.poses.t,
-        loop_queue=q._replace(count=jnp.zeros((), jnp.int32)),
+        loop_queue=new_queue,
         loop_closed=jnp.array(False),
     )
     return state, result.chi2_history
