@@ -898,6 +898,34 @@ class Mapper:
             os.path.join(directory, "loop_constraints.json"), self.loop_constraints()
         )
 
+    def start_map_publisher(self, directory: str, interval: float | None = None):
+        """Background thread exporting artifacts every ``interval`` seconds —
+
+        the reference's ``globalMapThread`` (``distributedMapping.h:1611-1655``,
+        cadence ``mapPublishInterval``). Returns a ``stop()`` callable."""
+        import threading
+
+        interval = interval or self.cfg.global_map_publish_interval
+        stop = threading.Event()
+
+        def loop():
+            while not stop.wait(interval):
+                try:
+                    self.export_artifacts(directory)
+                except Exception:  # export must never kill the session
+                    from ..utils.logging import get_logger
+
+                    get_logger("mapper").exception("map publish failed")
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+
+        def stopper():
+            stop.set()
+            t.join(timeout=5)
+
+        return stopper
+
     def save_trajectories(self, directory: str):
         """TUM + KITTI export for every robot (reference
 
