@@ -12,7 +12,6 @@ import sys
 import pytest
 
 
-@pytest.mark.timeout(180)
 def test_two_process_sharded_solve():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count

@@ -39,7 +39,6 @@ def cfg_for(rid):
     )
 
 
-@pytest.mark.timeout(600)
 def test_three_robot_joint_map():
     world = kitti.SyntheticWorld(
         seed=13, extent=90.0, n_clusters=60, pts_per_cluster=800
