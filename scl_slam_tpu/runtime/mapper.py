@@ -302,6 +302,36 @@ def _ingest_and_detect(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _ingest_and_detect_batch(
+    state: MapperState,
+    robot: jax.Array,
+    poses: se3.Pose,      # [B] batched keyframe poses
+    xyz: jax.Array,       # [B, N, 3]
+    mask: jax.Array,      # [B, N]
+    stamps: jax.Array,    # [B]
+    cfg: SlamConfig,
+):
+    """Macro-batched keyframe processing: B keyframes in ONE device program.
+
+    ``lax.scan`` over the batch amortizes per-dispatch latency (the dominant
+    cost on a remote-tunneled chip) — the replay/offline-processing mode.
+    Semantically identical to B sequential ``_ingest_and_detect`` calls.
+    Returns (state, founds [B], match_indices [B], fitnesses [B]).
+    """
+
+    def one(st, inp):
+        pose_R, pose_t, x, m, s = inp
+        st, _ = _ingest(st, robot, se3.Pose(pose_R, pose_t), x, m, s, cfg)
+        st, ok, match, fit = _detect_intra(st, robot, cfg)
+        return st, (ok, match.index, fit)
+
+    state, (oks, idxs, fits) = jax.lax.scan(
+        one, state, (poses.R, poses.t, xyz, mask, stamps)
+    )
+    return state, oks, idxs, fits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _detect_inter(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     """Inter-robot candidate detection (reference ``performInterLoopClosure``
 
