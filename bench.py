@@ -69,21 +69,26 @@ def main():
     stamps = jnp.zeros(B)
 
     def batch_step(state):
-        state, oks, idxs, fits = _ingest_and_detect_batch(
+        return _ingest_and_detect_batch(
             state, jnp.array(0), se3.Pose(pose_R, pose_t), xs, masks, stamps, cfg
         )
-        return state
 
     # warm up (compile)
-    state = batch_step(state)
-    jax.block_until_ready(state.counts)
+    out = batch_step(state)
+    jax.block_until_ready(out)
+    _ = np.asarray(out[3])  # host copy: forces true completion on the relay
+    state = out[0]
 
-    # steady-state timing
+    # steady-state timing; end with a host copy of a small output —
+    # block_until_ready alone has been observed to return before the full
+    # program finishes on the tunneled runtime, which silently inflates
+    # throughput numbers (see CLAUDE.md)
     n_rep = 12
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        state = batch_step(state)
-    jax.block_until_ready(state.counts)
+        out = batch_step(state)
+        state = out[0]
+    _ = np.asarray(out[3])
     dt = time.perf_counter() - t0
     fps = n_rep * B / dt
 

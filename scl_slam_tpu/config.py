@@ -61,6 +61,10 @@ class LoopConfig:
     history_fitness_score: float = 0.3
     icp_iterations: int = 30
     icp_max_corr_dist: float = 10.0
+    # source points used for ICP correspondence/alignment: the stored
+    # keyframe cloud's hash-ordered layout makes a prefix slice a spatially
+    # uniform subsample, so 1024 points align as well as 4096 at 4x less cost
+    icp_source_points: int = 1024
     # submap assembly: +-25 keyframes (reference :1163-1186)
     near_keyframes: int = 25
     submap_capacity: int = 8192

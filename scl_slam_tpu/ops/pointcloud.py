@@ -55,29 +55,53 @@ def voxel_downsample(cloud: Cloud, leaf: float, out_capacity: int | None = None)
     TPU-native replacement for ``pcl::VoxelGrid`` (reference
     ``include/distributedMapping.h:340-349``). Instead of centroid averaging
     (dynamic group-by), keeps the point closest to its voxel center. Voxels
-    are grouped **exactly** by a lexicographic sort of integer voxel coords
-    (no hash collisions), then a segment-min over group ids picks the
-    representative. Deterministic, fully static shapes.
+    are grouped **exactly** by sorting a packed int32 voxel key (no hash
+    collisions), then a segment-min over group ids picks the representative.
+    Deterministic, world-grid-aligned, fully static shapes.
     """
     n = cloud.capacity
     out_capacity = out_capacity or n
     inv_leaf = 1.0 / leaf
-    vox = jnp.floor(cloud.xyz * inv_leaf).astype(jnp.int32)
-    # push invalid points to a far group so they sort last and group together
+    # Center on the masked mean so voxel coords fit a PACKED int32 key
+    # (11+11+8 bits: +-1024 cells in x/y, +-128 in z around the centroid —
+    # +-204 m / +-25 m at leaf 0.2). One single-key sort is ~3x cheaper on
+    # TPU than the previous 3-key lexsort. Points outside the packed range
+    # (far beyond any LiDAR return of interest) are treated as invalid.
+    w = cloud.mask.astype(cloud.xyz.dtype)
+    mean = jnp.sum(cloud.xyz * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    # quantize the origin to the leaf grid so voxel boundaries remain
+    # world-aligned (mask-independent), merely shifted by whole cells
+    origin = jnp.floor(mean * inv_leaf) * leaf
+    vox = jnp.floor((cloud.xyz - origin) * inv_leaf).astype(jnp.int32)
+    in_range = (
+        (jnp.abs(vox[:, 0]) < 1024)
+        & (jnp.abs(vox[:, 1]) < 1024)
+        & (jnp.abs(vox[:, 2]) < 128)
+    )
+    valid = cloud.mask & in_range
+    packed = (
+        (vox[:, 0] + 1024) * (2048 * 256)
+        + (vox[:, 1] + 1024) * 256
+        + (vox[:, 2] + 128)
+    )
     big = jnp.int32(2**30)
-    vox = jnp.where(cloud.mask[:, None], vox, big)
+    packed = jnp.where(valid, packed, big)
+    # mask used downstream must match the packed validity
+    cloud = Cloud(jnp.where(valid[:, None], cloud.xyz, PAD_VALUE), valid)
+    vox = jnp.where(valid[:, None], vox, big)
 
-    # exact grouping: lexicographic sort, consecutive-difference group ids
-    order = jnp.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))
-    sv = vox[order]
-    new_group = jnp.any(sv != jnp.roll(sv, 1, axis=0), axis=-1)
+    # exact grouping: single-key sort, consecutive-difference group ids
+    order = jnp.argsort(packed)
+    sv = packed[order]
+    new_group = sv != jnp.roll(sv, 1)
     new_group = new_group.at[0].set(True)
     gid_sorted = jnp.cumsum(new_group) - 1  # [n], group id per sorted slot
     # scatter group ids back to original point order
     gid = jnp.zeros(n, jnp.int32).at[order].set(gid_sorted.astype(jnp.int32))
 
-    # representative = closest point to its voxel center (segment-min, exact)
-    center = (vox.astype(jnp.float32) + 0.5) * leaf
+    # representative = closest point to its voxel center (segment-min, exact;
+    # vox coords are centroid-relative, so add the mean back)
+    center = (vox.astype(jnp.float32) + 0.5) * leaf + origin
     d2 = jnp.sum((cloud.xyz - center) ** 2, axis=-1)
     d2 = jnp.where(cloud.mask, d2, jnp.inf)
     min_d2 = jnp.full((n,), jnp.inf, dtype=jnp.float32).at[gid].min(d2)

@@ -104,7 +104,7 @@ def _ingest(
     desc_db = fam.insert(state.desc_db, descriptor, robot, idx, pos=slot)
 
     state = state._replace(
-        kf_xyz=state.kf_xyz.at[slot].set(small.xyz),
+        kf_xyz=state.kf_xyz.at[slot].set(small.xyz.reshape(-1)),
         kf_mask=state.kf_mask.at[slot].set(small.mask),
         odom_R=state.odom_R.at[slot].set(pose.R),
         odom_t=state.odom_t.at[slot].set(pose.t),
@@ -183,7 +183,10 @@ def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
 
     Reference ``loopFindNearKeyframes`` (``distributedMapping.h:1163-1186``).
     Fixed shapes: gathers 2*near+1 clouds, transforms each by its optimized
-    pose, concatenates, voxel-downsamples to submap capacity.
+    pose, and takes a per-cloud PREFIX slice sized to fill submap_capacity —
+    stored keyframe clouds are hash-ordered (see ops.pointcloud), so a
+    prefix is already a uniform spatial subsample and no global
+    re-voxelization (an expensive TPU sort) is needed.
     """
     K = cfg.keyframe.max_keyframes
     near = cfg.loop.near_keyframes
@@ -191,17 +194,18 @@ def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
     lo = robot * K
     offs = jnp.arange(-near, near + 1)
     slots = jnp.clip(center_slot + offs, lo, lo + jnp.maximum(count - 1, 0))
-    xyz = state.kf_xyz[slots]          # [W, P, 3]
-    mask = state.kf_mask[slots]        # [W, P]
+    W = 2 * near + 1
+    per = max(1, cfg.loop.submap_capacity // W)
+    xyz = state.kf_xyz[slots, : per * 3].reshape(-1, per, 3)  # hash-ordered prefixes
+    mask = state.kf_mask[slots, :per]  # [W, per]
     poses = se3.Pose(state.opt_R[slots], state.opt_t[slots])
-    world = se3.transform_points(poses, xyz)  # [W, P, 3]
+    world = se3.transform_points(poses, xyz)  # [W, per, 3]
     flat = world.reshape(-1, 3)
     flat_mask = mask.reshape(-1)
-    merged = pc.Cloud(
+    # duplicate slots from the clip at trajectory edges are harmless for
+    # ICP targets (identical points don't bias nearest-neighbor matches)
+    return pc.Cloud(
         jnp.where(flat_mask[:, None], flat, pc.PAD_VALUE), flat_mask
-    )
-    return pc.voxel_downsample(
-        merged, cfg.keyframe.map_leaf_size, cfg.loop.submap_capacity
     )
 
 
@@ -224,44 +228,69 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     already = state.loop_target[slot] >= 0
     attempt = match.found & ~already & (idx >= 0)
 
-    # --- geometric verification (computed unconditionally, masked select;
-    # under jit both branches of a cond with big clouds would be compiled
-    # anyway, and the common case on TPU is batched pipelines) ---
+    # --- geometric verification under lax.cond: descriptor hits are rare
+    # (a few percent of keyframes on survey data) and TPU lax.cond executes
+    # only the taken branch, so the 20-iteration submap ICP costs nothing on
+    # the no-candidate path — this is what makes per-keyframe throughput
+    # retrieval-bound rather than verification-bound ---
     match_slot = jnp.where(attempt, match.db_pos, slot)
-    cur_cloud = pc.Cloud(state.kf_xyz[slot], state.kf_mask[slot])
-    cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
-    # yaw-initialized start: rotate current cloud by the SC shift estimate
-    # (helps ICP converge on reverse loops; the SC paper's alignment use)
-    zero = jnp.zeros_like(match.yaw)
-    Ryaw = jnp.stack(
-        [
-            jnp.stack([jnp.cos(match.yaw), -jnp.sin(match.yaw), zero], -1),
-            jnp.stack([jnp.sin(match.yaw), jnp.cos(match.yaw), zero], -1),
-            jnp.stack([zero, zero, jnp.ones_like(match.yaw)], -1),
-        ],
-        -2,
+
+    # Gather the (small) verification inputs OUTSIDE the cond: a cond branch
+    # that references the full keyframe array turns it into a branch operand,
+    # and its [S, P, 3] layout pads 3 -> 128 lanes (a 42x, multi-GB copy).
+    # The gathers are cheap; only the ICP itself needs to be conditional.
+    # hash-ordered storage -> a prefix slice is a uniform spatial subsample
+    n_src = min(cfg.loop.icp_source_points, cfg.keyframe.points_per_keyframe)
+    cur_cloud_outer = pc.Cloud(
+        state.kf_xyz[slot, : n_src * 3].reshape(n_src, 3),
+        state.kf_mask[slot, :n_src],
     )
-    init_pose = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
-    source_world = pc.transform(cur_cloud, init_pose.R, init_pose.t)
-    target = _gather_submap(state, match_slot, robot, cfg)
-    icp_res = reg.icp(
-        source_world,
-        target,
-        max_iters=cfg.loop.icp_iterations,
-        max_corr_dist=cfg.loop.icp_max_corr_dist,
+    target_outer = _gather_submap(state, match_slot, robot, cfg)
+
+    def verify(operands):
+        cur_cloud, target = operands
+        cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
+        # yaw-initialized start: rotate current cloud by the SC shift
+        # estimate (helps ICP converge on reverse loops)
+        zero = jnp.zeros_like(match.yaw)
+        Ryaw = jnp.stack(
+            [
+                jnp.stack([jnp.cos(match.yaw), -jnp.sin(match.yaw), zero], -1),
+                jnp.stack([jnp.sin(match.yaw), jnp.cos(match.yaw), zero], -1),
+                jnp.stack([zero, zero, jnp.ones_like(match.yaw)], -1),
+            ],
+            -2,
+        )
+        init_pose = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
+        source_world = pc.transform(cur_cloud, init_pose.R, init_pose.t)
+        icp_res = reg.icp(
+            source_world,
+            target,
+            max_iters=cfg.loop.icp_iterations,
+            max_corr_dist=cfg.loop.icp_max_corr_dist,
+        )
+        corrected = se3.compose(icp_res.pose, init_pose)
+        return icp_res.fitness, corrected.R, corrected.t
+
+    def skip(_):
+        eye = jnp.eye(3, dtype=state.opt_R.dtype)
+        return jnp.array(jnp.inf, state.opt_t.dtype), eye, jnp.zeros(3, state.opt_t.dtype)
+
+    fitness, corr_R, corr_t = jax.lax.cond(
+        attempt, verify, skip, operand=(cur_cloud_outer, target_outer)
     )
-    ok = attempt & (icp_res.fitness < cfg.loop.history_fitness_score)
+    ok = attempt & (fitness < cfg.loop.history_fitness_score)
 
     # corrected current pose and loop factor z = T_pre^-1 ∘ T_cur_corrected
     # (reference computes (tfICP·tfWrong)^-1·posePre, :1129-1143 — same pose)
-    corrected = se3.compose(icp_res.pose, init_pose)
+    corrected = se3.Pose(corr_R, corr_t)
     pre_pose = se3.Pose(state.opt_R[match_slot], state.opt_t[match_slot])
     z = se3.between(pre_pose, corrected)
 
     q = state.loop_queue
     qpos = jnp.minimum(q.count, q.i.shape[0] - 1)
     qok = ok & (q.count < q.i.shape[0])
-    noise = jnp.maximum(icp_res.fitness, 1e-3)
+    noise = jnp.maximum(fitness, 1e-3)
     new_q = LoopQueue(
         i=q.i.at[qpos].set(jnp.where(qok, match_slot, q.i[qpos])),
         j=q.j.at[qpos].set(jnp.where(qok, slot, q.j[qpos])),
@@ -277,7 +306,7 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
         ),
         loop_closed=state.loop_closed | qok,
     )
-    return state, ok, match, icp_res.fitness
+    return state, ok, match, fitness
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -301,7 +330,7 @@ def _ingest_and_detect(
     return state, wire, ok, match, fitness
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _ingest_and_detect_batch(
     state: MapperState,
     robot: jax.Array,
@@ -348,7 +377,8 @@ def _detect_inter(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     already = state.loop_target[slot] >= 0
     found = match.found & ~already
     cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
-    cloud = pc.Cloud(state.kf_xyz[slot], state.kf_mask[slot])
+    P = cfg.keyframe.points_per_keyframe
+    cloud = pc.Cloud(state.kf_xyz[slot].reshape(P, 3), state.kf_mask[slot])
     world = pc.transform(cloud, cur_pose.R, cur_pose.t)
     return found, match, world.xyz, world.mask
 
@@ -865,7 +895,7 @@ class Mapper:
             n = int(self.state.counts[r])
             for k in range(n):
                 s = r * K + k
-                xyz = np.asarray(self.state.kf_xyz[s])
+                xyz = np.asarray(self.state.kf_xyz[s]).reshape(-1, 3)
                 m = np.asarray(self.state.kf_mask[s])
                 Rm = np.asarray(self.state.opt_R[s])
                 tm = np.asarray(self.state.opt_t[s])

@@ -35,7 +35,10 @@ class LoopQueue(NamedTuple):
 
 class MapperState(NamedTuple):
     # keyframe DB
-    kf_xyz: jax.Array       # [S, P, 3] downsampled keyframe clouds
+    kf_xyz: jax.Array       # [S, P*3] downsampled keyframe clouds, flattened
+    #                         interleaved (x0,y0,z0,x1,...): a [S, P, 3] array
+    #                         as a scan carry gets a 42x lane-padded layout
+    #                         on TPU (3 -> 128); the flat form tiles cleanly
     kf_mask: jax.Array      # [S, P] bool
     odom_R: jax.Array       # [S, 3, 3] odometry-frame poses (as received)
     odom_t: jax.Array       # [S, 3]
@@ -79,13 +82,16 @@ def make_state(cfg: SlamConfig) -> MapperState:
     P = cfg.keyframe.points_per_keyframe
     S = R * K
     Q = cfg.loop.queue_capacity
-    eye = jnp.broadcast_to(jnp.eye(3), (S, 3, 3))
+    # distinct buffers per field (donation rejects aliased inputs)
+    def eye():
+        return jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (S, 1, 1))
+
     return MapperState(
-        kf_xyz=jnp.full((S, P, 3), 1e6, jnp.float32),
+        kf_xyz=jnp.full((S, P * 3), 1e6, jnp.float32),
         kf_mask=jnp.zeros((S, P), bool),
-        odom_R=eye,
+        odom_R=eye(),
         odom_t=jnp.zeros((S, 3), jnp.float32),
-        opt_R=eye,
+        opt_R=eye(),
         opt_t=jnp.zeros((S, 3), jnp.float32),
         stamps=jnp.zeros((S,), jnp.float32),
         counts=jnp.zeros((R,), jnp.int32),
@@ -95,7 +101,7 @@ def make_state(cfg: SlamConfig) -> MapperState:
         loop_queue=LoopQueue(
             i=jnp.zeros(Q, jnp.int32),
             j=jnp.zeros(Q, jnp.int32),
-            z_R=jnp.broadcast_to(jnp.eye(3), (Q, 3, 3)),
+            z_R=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (Q, 1, 1)),
             z_t=jnp.zeros((Q, 3), jnp.float32),
             noise=jnp.zeros(Q, jnp.float32),
             count=jnp.zeros((), jnp.int32),
