@@ -48,6 +48,11 @@ class KeyframeConfig:
     #                                      storage is downsampled)
     descript_leaf_size: float = 0.2      # descriptor downsample (config yaml)
     map_leaf_size: float = 0.4           # global map publish leaf (:1646)
+    # eviction (runtime/eviction.py): when a robot's block fills, keep the
+    # newest evict_keep_recent frames + all loop anchors; temporally decimate
+    # the rest, keeping every evict_stride-th. The reference grows unbounded.
+    evict_keep_recent: int = 64
+    evict_stride: int = 2
 
 
 @dataclass(frozen=True)

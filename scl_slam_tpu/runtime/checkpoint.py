@@ -41,6 +41,17 @@ def save(mapper: Mapper, path: str) -> None:
             else np.asarray(se3.to_matrix(mapper._last_kf_pose)).tolist()
         ),
         "verify_key": np.asarray(mapper._verify_key).tolist(),
+        "evicted": {
+            str(r): [
+                {
+                    "index": e["index"],
+                    "stamp": e["stamp"],
+                    "pose": np.asarray(e["pose"]).tolist(),
+                }
+                for e in lst
+            ]
+            for r, lst in mapper._evicted.items()
+        },
     }
     tmp = path + ".tmp"
     np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
@@ -74,4 +85,15 @@ def load(mapper: Mapper, path: str) -> Mapper:
     else:
         mapper._last_kf_pose = None
     mapper._verify_key = jnp.asarray(meta["verify_key"], jnp.uint32)
+    mapper._evicted = {
+        int(r): [
+            {
+                "index": e["index"],
+                "stamp": e["stamp"],
+                "pose": np.asarray(e["pose"]),
+            }
+            for e in lst
+        ]
+        for r, lst in meta.get("evicted", {}).items()
+    }
     return mapper

@@ -39,6 +39,40 @@ from ..ops import pointcloud as pc
 from ..ops import registration as reg
 from .state import LoopQueue, MapperState, make_state
 
+# Loop-queue endpoints are encoded as robot * IDX_BASE + keyframe_index —
+# protocol-stable per-robot indices, NOT slots. Slots are block *positions*
+# that eviction (runtime/eviction.py) reshuffles; indices never change, so a
+# queued factor survives compaction and factors for frames that have not been
+# ingested yet (server-side inter loops, reference distributedMapping.h:790-795)
+# can be addressed at all. Resolution to slots happens at drain time.
+IDX_BASE = 1 << 22  # supports 4M keyframes/robot, 512 robots in int32
+
+
+def encode_kf(robot, index):
+    return robot * IDX_BASE + index
+
+
+def _resolve_indices(state: MapperState, enc: jax.Array):
+    """Vectorized (robot, index) -> slot lookup over the descriptor DB.
+
+    Returns (slot [Q] int32 with -1 for absent, pending [Q] bool: absent but
+    not yet ingested — i.e. index is ahead of the robot's chain, so the entry
+    should stay queued rather than be dropped as evicted)."""
+    robot = enc // IDX_BASE
+    index = enc % IDX_BASE
+    hits = (state.desc_db.robot[None, :] == robot[:, None]) & (
+        state.desc_db.index[None, :] == index[:, None]
+    )
+    found = jnp.any(hits, axis=1)
+    slot = jnp.where(found, jnp.argmax(hits, axis=1).astype(jnp.int32), -1)
+    K = state.max_keyframes
+    last_slot = jnp.clip(robot * K + state.counts[robot] - 1, 0, None)
+    last_index = jnp.where(
+        state.counts[robot] > 0, state.desc_db.index[last_slot], -1
+    )
+    pending = ~found & (index > last_index)
+    return slot, pending
+
 
 # ---------------------------------------------------------------------------
 # jitted state transitions
@@ -63,8 +97,12 @@ def _ingest(
     adding the between factor, ``distributedMapping.h:722-748``).
     """
     K = cfg.keyframe.max_keyframes
-    idx = state.counts[robot]
-    slot = robot * K + idx
+    pos = state.counts[robot]            # block position (slot offset)
+    slot = robot * K + pos
+    # protocol keyframe index: monotone per-robot numbering that eviction
+    # never renumbers — continues from the last resident frame's index
+    prev_slot = jnp.maximum(slot - 1, robot * K)
+    idx = jnp.where(pos > 0, state.desc_db.index[prev_slot] + 1, 0)
 
     cloud = pc.Cloud(xyz, mask)
     # stored cloud is downsampled to keyframe capacity; the descriptor is
@@ -75,12 +113,11 @@ def _ingest(
     )
 
     # optimized-frame pose for the new keyframe
-    prev_slot = jnp.maximum(slot - 1, robot * K)
     prev_odom = se3.Pose(state.odom_R[prev_slot], state.odom_t[prev_slot])
     prev_opt = se3.Pose(state.opt_R[prev_slot], state.opt_t[prev_slot])
     inc = se3.between(prev_odom, pose)
     opt_pose_chained = se3.compose(prev_opt, inc)
-    first = idx == 0
+    first = pos == 0
     opt_pose = se3.Pose(
         # orthonormalize: per-keyframe chaining is the compose pattern that
         # drifts rotations off SO(3) in f32 (phantom trace-angles)
@@ -134,12 +171,15 @@ def _ingest_peer(
     reference ``include/distributedMapping.h:556-648``): extend the peer's
     pose chain with a between factor from (prePose -> curPose) and store the
     wire descriptor. The peer's keyframe *cloud* is not transmitted (clouds
-    only move during geometric verification RPCs)."""
+    only move during geometric verification RPCs). ``index`` is the peer's
+    protocol keyframe index; the storage slot is the next free block
+    position (they differ once eviction has compacted the peer's block)."""
     K = cfg.keyframe.max_keyframes
-    slot = robot * K + index
+    pos = state.counts[robot]
+    slot = robot * K + pos
 
     inc = se3.between(pre_pose, cur_pose)
-    first = index == 0
+    first = pos == 0
     graph = state.graph
     odom_si = [1.0 / s for s in cfg.optimizer.odometry_sigmas]
     prior_si = [1.0 / s for s in cfg.optimizer.prior_sigmas]
@@ -170,9 +210,7 @@ def _ingest_peer(
         opt_R=state.opt_R.at[slot].set(opt_pose.R),
         opt_t=state.opt_t.at[slot].set(opt_pose.t),
         stamps=state.stamps.at[slot].set(stamp),
-        counts=state.counts.at[robot].set(
-            jnp.maximum(state.counts[robot], index + 1)
-        ),
+        counts=state.counts.at[robot].add(1),
         desc_db=desc_db,
         graph=graph,
     )
@@ -220,13 +258,14 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     """
     K = cfg.keyframe.max_keyframes
     fam = registry.get_family(cfg)
-    idx = state.counts[robot] - 1
-    slot = robot * K + idx
+    pos = state.counts[robot] - 1
+    slot = robot * K + jnp.maximum(pos, 0)
+    q_idx = state.desc_db.index[slot]   # protocol index (recency exclusion)
 
     descriptor = fam.from_db(state.desc_db, slot)
-    match = fam.query(state.desc_db, descriptor, robot, idx, mode="intra")
+    match = fam.query(state.desc_db, descriptor, robot, q_idx, mode="intra")
     already = state.loop_target[slot] >= 0
-    attempt = match.found & ~already & (idx >= 0)
+    attempt = match.found & ~already & (pos >= 0)
 
     # --- geometric verification under lax.cond: descriptor hits are rare
     # (a few percent of keyframes on survey data) and TPU lax.cond executes
@@ -291,9 +330,11 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     qpos = jnp.minimum(q.count, q.i.shape[0] - 1)
     qok = ok & (q.count < q.i.shape[0])
     noise = jnp.maximum(fitness, 1e-3)
+    enc_i = encode_kf(robot, match.index)
+    enc_j = encode_kf(robot, q_idx)
     new_q = LoopQueue(
-        i=q.i.at[qpos].set(jnp.where(qok, match_slot, q.i[qpos])),
-        j=q.j.at[qpos].set(jnp.where(qok, slot, q.j[qpos])),
+        i=q.i.at[qpos].set(jnp.where(qok, enc_i, q.i[qpos])),
+        j=q.j.at[qpos].set(jnp.where(qok, enc_j, q.j[qpos])),
         z_R=q.z_R.at[qpos].set(jnp.where(qok, z.R, q.z_R[qpos])),
         z_t=q.z_t.at[qpos].set(jnp.where(qok, z.t, q.z_t[qpos])),
         noise=q.noise.at[qpos].set(jnp.where(qok, noise, q.noise[qpos])),
@@ -370,10 +411,11 @@ def _detect_inter(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     verification RPC, ``:1325-1338``)."""
     K = cfg.keyframe.max_keyframes
     fam = registry.get_family(cfg)
-    idx = state.counts[robot] - 1
-    slot = robot * K + idx
+    pos = state.counts[robot] - 1
+    slot = robot * K + jnp.maximum(pos, 0)
+    q_idx = state.desc_db.index[slot]
     descriptor = fam.from_db(state.desc_db, slot)
-    match = fam.query(state.desc_db, descriptor, robot, idx, mode="inter")
+    match = fam.query(state.desc_db, descriptor, robot, q_idx, mode="inter")
     already = state.loop_target[slot] >= 0
     found = match.found & ~already
     cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
@@ -403,8 +445,12 @@ def _verify_ransac(
     transport.VerifyRequest for why the reference's mirrored "tfWrong" is
     wrong once estimates diverge). Returns
     (success, z = T_pre^-1 * T_cur_corrected, inlier_ratio)."""
-    K = cfg.keyframe.max_keyframes
-    pre_slot = robot_pre * K + index_pre
+    # resolve the requested (robot, index) to its block slot; the frame may
+    # have been evicted since the requester's retrieval — fail gracefully
+    enc = encode_kf(robot_pre, index_pre)[None]
+    pre_slots, _ = _resolve_indices(state, enc)
+    resident = pre_slots[0] >= 0
+    pre_slot = jnp.maximum(pre_slots[0], 0)
 
     submap = _gather_submap(state, pre_slot, robot_pre, cfg)
     source = pc.Cloud(cloud_xyz, cloud_mask)
@@ -421,24 +467,24 @@ def _verify_ransac(
     corrected = se3.compose(res.pose, cur_pose_est)
     pre_pose = se3.Pose(state.opt_R[pre_slot], state.opt_t[pre_slot])
     z = se3.between(pre_pose, corrected)
-    return res.success, z, res.inlier_ratio
+    return res.success & resident, z, res.inlier_ratio
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _queue_loop(
     state: MapperState,
-    i_slot: jax.Array,
-    j_slot: jax.Array,
+    i_enc: jax.Array,
+    j_enc: jax.Array,
     z: se3.Pose,
     noise: jax.Array,
     cfg: SlamConfig,
 ):
-    """Append a verified loop factor (canonical order: lower slot first,
-
-    reference ``distributedMapping.h:1359-1371``)."""
-    swap = i_slot > j_slot
-    a = jnp.where(swap, j_slot, i_slot)
-    b = jnp.where(swap, i_slot, j_slot)
+    """Append a verified loop factor (canonical order: lower (robot, index)
+    first, reference ``distributedMapping.h:1359-1371``). Endpoints are
+    ``encode_kf(robot, index)`` values, resolved to slots at drain time."""
+    swap = i_enc > j_enc
+    a = jnp.where(swap, j_enc, i_enc)
+    b = jnp.where(swap, i_enc, j_enc)
     z_inv = se3.inverse(z)
     zc = se3.Pose(
         jnp.where(swap, z_inv.R, z.R), jnp.where(swap, z_inv.t, z.t)
@@ -454,10 +500,15 @@ def _queue_loop(
         noise=q.noise.at[qpos].set(jnp.where(qok, noise, q.noise[qpos])),
         count=q.count + qok.astype(jnp.int32),
     )
+    # dedup marker (loopIndexContainer analog) keys on slots; skip marking
+    # when either endpoint is not resident here (duplicate service is benign)
+    slots, _ = _resolve_indices(state, jnp.stack([a, b]))
+    mark = qok & (slots[0] >= 0) & (slots[1] >= 0)
+    b_slot = jnp.maximum(slots[1], 0)
     return state._replace(
         loop_queue=new_q,
-        loop_target=state.loop_target.at[b].set(
-            jnp.where(qok, a, state.loop_target[b])
+        loop_target=state.loop_target.at[b_slot].set(
+            jnp.where(mark, slots[0], state.loop_target[b_slot])
         ),
         loop_closed=state.loop_closed | qok,
     )
@@ -473,20 +524,19 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
     q = state.loop_queue
     graph = state.graph
 
-    # defer factors whose endpoints reference keyframe slots this mapper has
-    # not ingested yet (server-side inter-robot factors can arrive ahead of
-    # the peer's descriptor chain when broadcasts drop; reference defers the
-    # same way, distributedMapping.h:790-795): such entries stay queued and
-    # are retried at the next drain
-    K = cfg.keyframe.max_keyframes
-
-    def slot_known(slot):
-        robot = slot // K
-        return (slot % K) < state.counts[robot]
-
+    # Resolve encoded (robot, index) endpoints to slots. Endpoints this
+    # mapper has not ingested yet (server-side inter-robot factors can arrive
+    # ahead of the peer's descriptor chain when broadcasts drop; reference
+    # defers the same way, distributedMapping.h:790-795) stay queued and are
+    # retried at the next drain; endpoints that were ingested and since
+    # EVICTED are unanchorable and dropped.
     in_queue = jnp.arange(q.i.shape[0]) < q.count
-    ready = in_queue & jax.vmap(slot_known)(q.i) & jax.vmap(slot_known)(q.j)
-    deferred = in_queue & ~ready
+    slots_i, pend_i = _resolve_indices(state, q.i)
+    slots_j, pend_j = _resolve_indices(state, q.j)
+    ready = in_queue & (slots_i >= 0) & (slots_j >= 0)
+    deferred = in_queue & ~ready & (pend_i | pend_j)
+    qi_slot = jnp.maximum(slots_i, 0)
+    qj_slot = jnp.maximum(slots_j, 0)
 
     if cfg.optimizer.use_pcm:
         # PCM outlier rejection over the queued loops (reference usePCM /
@@ -494,9 +544,9 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         # pairwise-consistent subset under the current estimates
         from ..graph import pcm
 
-        qvalid = jnp.arange(q.i.shape[0]) < q.count
-        loops_i = se3.Pose(state.opt_R[q.i], state.opt_t[q.i])
-        loops_j = se3.Pose(state.opt_R[q.j], state.opt_t[q.j])
+        qvalid = ready
+        loops_i = se3.Pose(state.opt_R[qi_slot], state.opt_t[qi_slot])
+        loops_j = se3.Pose(state.opt_R[qj_slot], state.opt_t[qj_slot])
         accept = pcm.pcm_filter(
             loops_i, loops_j, se3.Pose(q.z_R, q.z_t), qvalid,
             threshold=cfg.optimizer.pcm_threshold,
@@ -514,7 +564,7 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         sq = 1.0 / jnp.sqrt(var)
         sqrt_info = jnp.full((6,), sq)
         g2 = F.add_between(
-            g, q.i[k], q.j[k], se3.Pose(q.z_R[k], q.z_t[k]), sqrt_info
+            g, qi_slot[k], qj_slot[k], se3.Pose(q.z_R[k], q.z_t[k]), sqrt_info
         )
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(valid, b, a), g, g2
@@ -577,6 +627,63 @@ class Mapper:
         self._last_opt_time = float("-inf")
         self._pending_intra = None
         self._pending_intra_valid = False
+        # fixed-lag archive: evicted keyframes' (index, stamp, pose-at-
+        # eviction) per robot, merged back in by full-trajectory export
+        self._evicted: dict[int, list] = {}
+        self._db_sharding = None  # set by shard_database()
+
+    # -- city-scale map management (runtime/eviction.py) --
+    def next_index(self, robot: int) -> int:
+        """Next protocol keyframe index in a robot's chain (tail index + 1)."""
+        K = self.cfg.keyframe.max_keyframes
+        n = int(self.state.counts[robot])
+        if n == 0:
+            return 0
+        return int(self.state.desc_db.index[robot * K + n - 1]) + 1
+
+    def _compact(self, robot: int) -> None:
+        from . import eviction
+
+        self.state, records = eviction.compact_robot(self.state, self.cfg, robot)
+        self._evicted.setdefault(robot, []).extend(records)
+        if self._db_sharding is not None:
+            self._apply_db_sharding()
+
+    def shard_database(self, mesh, axis: str = "shard") -> None:
+        """Distribute the descriptor DB rows across a device mesh.
+
+        City-scale retrieval (SURVEY §5 long-context axis): the descriptor
+        arrays are placed in a ``NamedSharding`` partitioned on the keyframe
+        row dimension, so the unmodified jitted query stages
+        (``_detect_intra``/``_detect_inter``) run partitioned — XLA shards
+        the distance computation and top-k per device and inserts the ICI
+        collectives (validated equal to the single-device path in
+        tests/test_sharded_db.py). Insertions scatter to the owning shard.
+        Requires ``number_of_robots * max_keyframes`` divisible by the mesh
+        axis size.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        S = self.state.kf_xyz.shape[0]
+        n_dev = mesh.shape[axis]
+        if S % n_dev:
+            raise ValueError(
+                f"DB rows {S} not divisible by mesh axis {axis}={n_dev}"
+            )
+        self._db_sharding = NamedSharding(mesh, P(axis))
+        self._apply_db_sharding()
+
+    def _apply_db_sharding(self) -> None:
+        db = self.state.desc_db
+        put = lambda a: jax.device_put(a, self._db_sharding)
+        self.state = self.state._replace(
+            desc_db=db._replace(
+                descriptors=put(db.descriptors),
+                keys=put(db.keys),
+                robot=put(db.robot),
+                index=put(db.index),
+            )
+        )
 
     # -- keyframe gate (reference saveFrame, distributedMapping.h:755-780) --
     def should_add_keyframe(self, pose: se3.Pose) -> bool:
@@ -600,6 +707,8 @@ class Mapper:
         if not self.should_add_keyframe(pose):
             return None
         self._last_kf_pose = pose
+        if int(self.state.counts[self.robot]) >= self.cfg.keyframe.max_keyframes:
+            self._compact(self.robot)
         cloud = pc.from_points(xyz, self.cfg.keyframe.raw_points_capacity)
         args = (
             jnp.array(self.robot),
@@ -650,9 +759,10 @@ class Mapper:
         """In-order peer descriptor ingestion. Returns False if dropped
 
         (out-of-order, reference ``distributedMapping.h:558-563``)."""
-        expected = int(self.state.counts[robot])
-        if index != expected:
+        if index != self.next_index(robot):
             return False
+        if int(self.state.counts[robot]) >= self.cfg.keyframe.max_keyframes:
+            self._compact(robot)
         self.state = _ingest_peer(
             self.state,
             jnp.array(robot),
@@ -724,13 +834,14 @@ class Mapper:
         from .transport import DescriptorMsg
 
         K = self.cfg.keyframe.max_keyframes
-        idx = int(self.state.counts[self.robot]) - 1
-        slot = self.robot * K + idx
+        pos = int(self.state.counts[self.robot]) - 1
+        slot = self.robot * K + pos
+        idx = int(self.state.desc_db.index[slot])  # protocol index
         cur = np.eye(4)
         cur[:3, :3] = np.asarray(self.state.odom_R[slot])
         cur[:3, 3] = np.asarray(self.state.odom_t[slot])
         pre = np.eye(4)
-        if idx > 0:
+        if pos > 0:
             pre[:3, :3] = np.asarray(self.state.odom_R[slot - 1])
             pre[:3, 3] = np.asarray(self.state.odom_t[slot - 1])
         else:
@@ -767,9 +878,9 @@ class Mapper:
 
         robot_pre = int(match.robot)
         index_pre = int(match.index)
-        idx_cur = int(self.state.counts[self.robot]) - 1
         K0 = self.cfg.keyframe.max_keyframes
-        cur_slot = self.robot * K0 + idx_cur
+        cur_slot = self.robot * K0 + int(self.state.counts[self.robot]) - 1
+        idx_cur = int(self.state.desc_db.index[cur_slot])  # protocol index
         cur_est = np.eye(4)
         cur_est[:3, :3] = np.asarray(self.state.opt_R[cur_slot])
         cur_est[:3, 3] = np.asarray(self.state.opt_t[cur_slot])
@@ -785,15 +896,14 @@ class Mapper:
         resp = self._bus.verify(robot_pre, req)
         if not resp.success:
             return None
-        K = self.cfg.keyframe.max_keyframes
         z = se3.Pose(
             jnp.asarray(resp.pose_between[:3, :3], jnp.float32),
             jnp.asarray(resp.pose_between[:3, 3], jnp.float32),
         )
         self.state = _queue_loop(
             self.state,
-            jnp.array(robot_pre * K + index_pre),
-            jnp.array(self.robot * K + idx_cur),
+            jnp.array(encode_kf(robot_pre, index_pre)),
+            jnp.array(encode_kf(self.robot, idx_cur)),
             z,
             jnp.array(max(1e-3, 1.0 - resp.inlier_ratio), jnp.float32),
             self.cfg,
@@ -830,11 +940,10 @@ class Mapper:
         # robots' DistributedMappers, distributedMapping.h:1373-1374): queue
         # it server-side too, so the serving robot's joint solve also
         # benefits without waiting for a reciprocal detection
-        K = self.cfg.keyframe.max_keyframes
         self.state = _queue_loop(
             self.state,
-            jnp.array(req.robot_pre * K + req.index_pre),
-            jnp.array(req.robot_cur * K + req.index_cur),
+            jnp.array(encode_kf(req.robot_pre, req.index_pre)),
+            jnp.array(encode_kf(req.robot_cur, req.index_cur)),
             z,
             jnp.array(max(1e-3, 1.0 - float(ratio)), jnp.float32),
             self.cfg,
@@ -877,6 +986,30 @@ class Mapper:
         out[:, :3, :3] = R
         out[:, :3, 3] = t
         return out
+
+    def full_trajectory(self, robot: int | None = None):
+        """(poses [N,4,4], stamps [N]) including evicted keyframes, in
+        keyframe-index order. Evicted poses are frozen at their estimate when
+        evicted (fixed-lag semantics); resident poses are current."""
+        robot = self.robot if robot is None else robot
+        K = self.cfg.keyframe.max_keyframes
+        n = int(self.state.counts[robot])
+        resident_idx = np.asarray(self.state.desc_db.index[robot * K : robot * K + n])
+        entries = [
+            (r["index"], r["stamp"], r["pose"]) for r in self._evicted.get(robot, [])
+        ]
+        poses = self.trajectory(robot)
+        stamps = self.keyframe_stamps(robot)
+        entries += [
+            (int(resident_idx[k]), float(stamps[k]), poses[k]) for k in range(n)
+        ]
+        entries.sort(key=lambda e: e[0])
+        if not entries:
+            return np.zeros((0, 4, 4)), np.zeros((0,))
+        return (
+            np.stack([e[2] for e in entries]),
+            np.asarray([e[1] for e in entries]),
+        )
 
     def keyframe_stamps(self, robot: int | None = None) -> np.ndarray:
         robot = self.robot if robot is None else robot
@@ -996,8 +1129,7 @@ class Mapper:
         for r in range(self.cfg.number_of_robots):
             if int(self.state.counts[r]) == 0:
                 continue
-            poses = self.trajectory(r)
-            stamps = self.keyframe_stamps(r)
+            poses, stamps = self.full_trajectory(r)
             name = chr(ord("a") + r)
             tio.save_tum(os.path.join(directory, f"{name}_tum.txt"), poses, stamps)
             tio.save_kitti(os.path.join(directory, f"{name}_kitti.txt"), poses)

@@ -48,10 +48,9 @@ class TestDeferredLoops:
         rng = np.random.RandomState(0)
         state = ingest(make_state(cfg), cfg, robot=0, n=6, rng=rng)
         # factor to robot 1's keyframe 2 — robot 1 has ingested NOTHING yet
-        K = cfg.keyframe.max_keyframes
         z = se3.Pose(jnp.eye(3), jnp.array([0.0, 3.0, 0.0]))
         state = M._queue_loop(
-            state, jnp.array(3), jnp.array(1 * K + 2), z,
+            state, jnp.array(M.encode_kf(0, 3)), jnp.array(M.encode_kf(1, 2)), z,
             jnp.array(0.05, jnp.float32), cfg,
         )
         edges_before = int(state.graph.num_edges)
@@ -74,7 +73,8 @@ class TestDeferredLoops:
         state = ingest(make_state(cfg), cfg, robot=0, n=8, rng=rng)
         z = se3.Pose(jnp.eye(3), jnp.array([8.0, 0.0, 0.0]))
         state = M._queue_loop(
-            state, jnp.array(1), jnp.array(5), z, jnp.array(0.05, jnp.float32), cfg
+            state, jnp.array(M.encode_kf(0, 1)), jnp.array(M.encode_kf(0, 5)), z,
+            jnp.array(0.05, jnp.float32), cfg,
         )
         before = int(state.graph.num_edges)
         state, _ = M._drain_queue_and_optimize(state, cfg)

@@ -76,3 +76,60 @@ def test_sharded_db_insert_roundtrip(mesh):
     np.testing.assert_allclose(
         np.asarray(out.keys[64]), np.asarray(db.keys[3] + 1.0), atol=1e-6
     )
+
+
+class TestShardedMapper:
+    """Mapper.shard_database: the full keyframe pipeline with the descriptor
+    DB partitioned across the mesh must be bit-identical to single-device."""
+
+    def _cfg(self):
+        from scl_slam_tpu.config import (
+            KeyframeConfig, LoopConfig, OptimizerConfig, ScanContextParams,
+            SlamConfig,
+        )
+
+        return SlamConfig(
+            keyframe=KeyframeConfig(
+                max_keyframes=32, points_per_keyframe=256,
+                raw_points_capacity=512, distance_threshold=0.5,
+                evict_keep_recent=4,
+            ),
+            loop=LoopConfig(near_keyframes=2, submap_capacity=512,
+                            queue_capacity=8, icp_iterations=5),
+            optimizer=OptimizerConfig(edge_capacity=128, gn_iters=2, cg_iters=8),
+            scan_context=ScanContextParams(exclude_recent=2),
+        )
+
+    def test_pipeline_matches_unsharded(self, mesh):
+        from scl_slam_tpu.geometry import se3
+        from scl_slam_tpu.runtime import Mapper
+
+        cfg = self._cfg()
+        plain, sharded = Mapper(cfg), Mapper(cfg)
+        sharded.shard_database(mesh)
+        rng = np.random.RandomState(5)
+        # 40 keyframes on a 32-slot block: exercises eviction under sharding
+        for k in range(40):
+            xyz = rng.uniform(-20, 20, (256, 3)).astype(np.float32)
+            pose = se3.Pose(jnp.eye(3), jnp.array([2.0 * k, 0.0, 0.0]))
+            for m in (plain, sharded):
+                m.add_frame(pose, xyz, stamp=float(k))
+
+        assert int(plain.state.counts[0]) == int(sharded.state.counts[0])
+        n = int(plain.state.counts[0])
+        np.testing.assert_array_equal(
+            np.asarray(plain.state.desc_db.index[:n]),
+            np.asarray(sharded.state.desc_db.index[:n]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.state.desc_db.keys[:n]),
+            np.asarray(sharded.state.desc_db.keys[:n]),
+            atol=1e-6,
+        )
+        assert int(plain.state.loop_queue.count) == int(
+            sharded.state.loop_queue.count
+        )
+        p1, s1 = plain.full_trajectory(0)
+        p2, s2 = sharded.full_trajectory(0)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
