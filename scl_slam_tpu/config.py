@@ -53,6 +53,11 @@ class KeyframeConfig:
     # the rest, keeping every evict_stride-th. The reference grows unbounded.
     evict_keep_recent: int = 64
     evict_stride: int = 2
+    # ingest storage downsample via the sort-free hash scatter
+    # (ops/pointcloud.py::voxel_downsample_hash; ~2.5x faster at 64k points;
+    # rare hash collisions merge voxels — storage-only, descriptors use the
+    # raw scan). False restores the exact sort-based voxel grid.
+    fast_voxel: bool = True
 
 
 @dataclass(frozen=True)

@@ -108,7 +108,10 @@ def _ingest(
     # stored cloud is downsampled to keyframe capacity; the descriptor is
     # built from the RAW scan below (max-height binning needs no density
     # control, and subsampling before binning degrades match distances)
-    small = pc.voxel_downsample(
+    downsample = (
+        pc.voxel_downsample_hash if cfg.keyframe.fast_voxel else pc.voxel_downsample
+    )
+    small = downsample(
         cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
     )
 

@@ -105,3 +105,60 @@ class TestNormals:
         normals = pc.estimate_normals(cloud, k=8)
         nz = np.abs(np.asarray(normals)[:, 2])
         assert np.mean(nz > 0.99) > 0.95
+
+
+class TestVoxelDownsampleHash:
+    """Sort-free hash-scatter variant (the ingest fast path)."""
+
+    def test_one_rep_per_voxel(self):
+        rng = np.random.RandomState(1)
+        pts = rng.uniform(-30, 30, (4096, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, 4096)
+        out = pc.voxel_downsample_hash(cloud, leaf=0.5, out_capacity=4096)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        vox = np.floor(kept / 0.5).astype(np.int64)
+        keys = vox[:, 0] * (1 << 42) + vox[:, 1] * (1 << 21) + vox[:, 2]
+        assert len(np.unique(keys)) == len(keys), "two reps share a voxel"
+
+    def test_representatives_are_input_points(self):
+        rng = np.random.RandomState(2)
+        pts = rng.uniform(-30, 30, (2048, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, 2048)
+        out = pc.voxel_downsample_hash(cloud, leaf=0.5, out_capacity=2048)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        assert len(kept) > 0
+        for p in kept[:32]:
+            assert np.min(np.linalg.norm(pts - p, axis=1)) < 1e-6
+
+    def test_close_to_exact_count(self):
+        rng = np.random.RandomState(3)
+        # LiDAR-like ring geometry, ~20k points
+        theta = rng.uniform(-np.pi, np.pi, 20000)
+        r = rng.uniform(2, 60, 20000)
+        z = np.sin(theta * 3) + rng.normal(0, 0.3, 20000)
+        pts = np.stack([r * np.cos(theta), r * np.sin(theta), z], -1).astype(
+            np.float32
+        )
+        cloud = pc.from_points(pts, 32768)
+        exact = pc.voxel_downsample(cloud, leaf=0.3, out_capacity=16384)
+        # collision loss ~ n_voxels/(2*hash_slots): size the table ~10x the
+        # voxel count for <5% loss (at the default 2^15 the loss is ~12% —
+        # immaterial on the ingest path, where out_capacity truncates far
+        # below the occupied-slot count anyway)
+        fast = pc.voxel_downsample_hash(
+            cloud, leaf=0.3, out_capacity=16384, hash_slots=1 << 18
+        )
+        ne, nf = int(exact.count()), int(fast.count())
+        assert nf <= ne
+        assert nf > 0.95 * ne, (ne, nf)
+
+    def test_compaction_prefix_dense(self):
+        rng = np.random.RandomState(4)
+        pts = rng.uniform(-10, 10, (1024, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, 1024)
+        out = pc.voxel_downsample_hash(cloud, leaf=1.0, out_capacity=512)
+        m = np.asarray(out.mask)
+        n = m.sum()
+        assert m[:n].all() and not m[n:].any(), "mask must be a dense prefix"
+        # padded lanes carry the sentinel
+        assert (np.asarray(out.xyz)[n:] == pc.PAD_VALUE).all()
