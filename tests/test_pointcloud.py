@@ -162,3 +162,11 @@ class TestVoxelDownsampleHash:
         assert m[:n].all() and not m[n:].any(), "mask must be a dense prefix"
         # padded lanes carry the sentinel
         assert (np.asarray(out.xyz)[n:] == pc.PAD_VALUE).all()
+
+    def test_large_cloud_falls_back_to_exact(self):
+        rng = np.random.RandomState(5)
+        pts = rng.uniform(-30, 30, (1000, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, 1 << 17)  # capacity > 65536
+        out = pc.voxel_downsample_hash(cloud, leaf=0.5, out_capacity=1024)
+        ref = pc.voxel_downsample(cloud, leaf=0.5, out_capacity=1024)
+        np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
