@@ -183,3 +183,90 @@ class Odometry:
             self.state, cloud.xyz, cloud.mask, self.cfg, imu_delta_R
         )
         return pose, float(fitness)
+
+
+class ImuFusedOdometry:
+    """Full LIO front end: scan-to-map ICP fused with the 15-state IMU
+    window smoother (:mod:`..graph.imu_factor`).
+
+    The reference gets this from its LIO-SAM sibling repo (GTSAM
+    CombinedImuFactor between keyframes, ``config/dlc_lio_sam_params.yaml:39-70``).
+    Per frame:
+
+    1. the interval's gyro samples (bias-corrected with the smoother's
+       current estimate) seed the ICP rotation prediction;
+    2. scan-to-map point-to-plane ICP registers the scan;
+    3. the interval's raw IMU + the ICP relative pose enter the sliding
+       window, which re-estimates poses, velocities, and both biases;
+    4. the smoothed pose is returned (and the bias feeds step 1 next frame).
+    """
+
+    def __init__(
+        self,
+        cfg: OdometryConfig = OdometryConfig(),
+        imu_cfg=None,
+        window: int = 8,
+        max_samples: int = 64,
+        solve_iters: int = 4,
+        max_smooth_gap: float = 0.5,
+    ):
+        from ..graph import imu_factor as IF
+
+        self.odo = Odometry(cfg)
+        self.smoother = IF.ImuSmoother(
+            window, max_samples, imu_cfg or IF.ImuFactorConfig()
+        )
+        self.solve_iters = solve_iters
+        self.max_smooth_gap = max_smooth_gap
+        self._last_pose: se3.Pose | None = None
+
+    def step(
+        self,
+        xyz: np.ndarray,
+        accel: np.ndarray,
+        gyro: np.ndarray,
+        imu_dt: np.ndarray,
+    ) -> tuple[se3.Pose, float, dict]:
+        """Register one scan with its interval's IMU samples.
+
+        Returns (smoothed pose, icp fitness, info) where info carries the
+        current velocity and bias estimates."""
+        sm = self.smoother
+        n = min(sm.node_count, sm.window - 1)
+        bg = np.asarray(sm.states.bg[max(n - 1, 0)])
+        pose, fitness = self.odo.step(
+            xyz, gyro=np.asarray(gyro) - bg, imu_dt=imu_dt
+        )
+        if self._last_pose is None:
+            # first frame anchors node 0
+            sm.set_node_pose(0, pose.R, pose.t)
+            self._last_pose = pose
+            return pose, fitness, {"velocity": np.zeros(3), "bg": bg,
+                                   "ba": np.asarray(sm.states.ba[0])}
+        rel = se3.between(self._last_pose, pose)
+        sm.push_interval(accel, gyro, imu_dt, rel)
+        n = min(sm.node_count - 1, sm.window - 1)
+        sm.set_node_pose(n, pose.R, pose.t)
+        # seed the new node's velocity from the ICP pose finite difference
+        # (and node 0 on the first interval): without it the solver
+        # linearizes at v=0, far outside the GN basin on fast trajectories
+        T = float(np.sum(np.maximum(np.asarray(imu_dt), 0.0)))
+        if T > 1e-6:
+            v_fd = (np.asarray(pose.t) - np.asarray(self._last_pose.t)) / T
+            sm.set_node_velocity(n, v_fd)
+            if n == 1:
+                sm.set_node_velocity(0, v_fd)
+        states, _ = sm.solve(gn_iters=self.solve_iters)
+        smoothed = se3.Pose(states.R[n], states.p[n])
+        # divergence gate: inconsistent IMU (bad calibration, dropped
+        # samples) must never be allowed to destroy a good ICP pose
+        gap = float(np.linalg.norm(np.asarray(smoothed.t) - np.asarray(pose.t)))
+        if gap > self.max_smooth_gap:
+            smoothed = pose
+        self._last_pose = pose  # ICP chain continues from the raw estimate
+        return smoothed, fitness, {
+            "velocity": np.asarray(states.v[n]),
+            "bg": np.asarray(states.bg[n]),
+            "ba": np.asarray(states.ba[n]),
+            "smooth_gap": gap,
+        }
