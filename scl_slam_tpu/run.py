@@ -34,10 +34,12 @@ def build_argparser():
     p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--odom-drift", type=float, default=0.02,
                    help="synthetic: forward drift (m) injected per frame")
-    p.add_argument("--odometry", choices=["gt", "icp"], default="gt",
+    p.add_argument("--odometry", choices=["gt", "icp", "imu"], default="gt",
                    help="odometry source: gt = dataset poses (+injected "
                    "drift for synthetic); icp = in-framework scan-to-map "
-                   "point-to-plane odometry")
+                   "point-to-plane odometry; imu = ICP fused with the "
+                   "15-state IMU window smoother (IMU synthesized from the "
+                   "dataset motion — the full-LIO front-end path)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -122,17 +124,37 @@ def main(argv=None):
         gt_of = lambda k: gt[k]
 
     odo = None
+    fused = None
     if args.odometry == "icp":
         from .runtime.odometry import Odometry
 
         odo = Odometry()
+    elif args.odometry == "imu":
+        from .runtime import imu as imu_mod
+        from .runtime.odometry import ImuFusedOdometry
+
+        # 6-node window / 32-sample intervals: at keyframe cadence a longer
+        # window adds nothing measurable, and the jacfwd cost scales with both
+        fused = ImuFusedOdometry(window=6, max_samples=32)
 
     t_start = time.perf_counter()
     n_loops = 0
     kf_frames = []
     for k in range(n):
         scan = get_scan(k)
-        if odo is not None:
+        if fused is not None:
+            # IMU stream synthesized from the dataset motion (KITTI odometry
+            # ships no IMU; the reference's LIO front ends consume a real one)
+            if k == 0:
+                acc = np.zeros((1, 3), np.float32)
+                gyr = np.zeros((1, 3), np.float32)
+                dts = np.zeros((1,), np.float32)
+            else:
+                acc, gyr, dts = imu_mod.synthesize_between_frames(
+                    gt_of(k - 1), gt_of(k), 20, 0.01
+                )
+            pose, _, _ = fused.step(scan, acc, gyr, dts)
+        elif odo is not None:
             pose, _ = odo.step(scan)
         else:
             T = get_odom(k)
