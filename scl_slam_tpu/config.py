@@ -92,6 +92,10 @@ class OptimizerConfig:
 
     gn_iters: int = 8
     cg_iters: int = 64
+    # two-level preconditioner supernode size (0 = block-Jacobi only).
+    # Needed for long trajectories: block-Jacobi CG takes O(N) iterations
+    # to carry a loop correction across an N-pose chain.
+    coarse_stride: int = 0
     damping: float = 1e-6
     huber_delta: float = 1e9             # disabled by default (ref has no robust kernel)
     # noise models as sigmas (rot x3, trans x3); reference expresses these as

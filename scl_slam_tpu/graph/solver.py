@@ -104,7 +104,7 @@ def _apply_H(x, g, Ji, Jj, w_e, Jp, w_p, D_damp_only):
     return y
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "coarse_stride"))
 def solve(
     g: F.FactorGraph,
     poses: se3.Pose,
@@ -112,12 +112,22 @@ def solve(
     cg_iters: int = 64,
     damping: float = 1e-6,
     huber_delta: float = 1e9,
+    coarse_stride: int = 0,
 ) -> SolveResult:
     """Damped Gauss-Newton with PCG inner solves.
 
     ``poses`` is the full fixed-capacity pose array; slots without factors
     are held in place by damping (zero gradient, zero update). ``huber_delta``
     in units of weighted residual norm; 1e9 disables the robust kernel.
+
+    ``coarse_stride`` > 0 enables a two-level preconditioner for long
+    trajectories: block-Jacobi alone needs O(N) CG iterations to carry a
+    loop-closure correction across an N-pose odometry chain (the classic 1-D
+    Laplacian bound), so every ``coarse_stride`` consecutive poses are
+    aggregated into one supernode, the Galerkin coarse Hessian PᵀHP is built
+    densely by segment scatter (a [C·6, C·6] matrix — one MXU Cholesky), and
+    M⁻¹ = blockJacobi + P A_c⁻¹ Pᵀ (additive, SPD). Long-range modes then
+    converge in O(1) iterations regardless of trajectory length.
     """
     n_poses = poses.t.shape[0]
     eye6 = jnp.eye(6, dtype=poses.t.dtype)
@@ -147,8 +157,37 @@ def solve(
         # block-Jacobi preconditioner: exact 6x6 Cholesky solves
         L = jnp.linalg.cholesky(D)
 
-        def precond(v):
-            return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+        if coarse_stride > 0:
+            C = (n_poses + coarse_stride - 1) // coarse_stride
+            cidx = jnp.arange(n_poses) // coarse_stride          # [N]
+            ci, cj, cp = cidx[g.i], cidx[g.j], cidx[g.prior_idx]
+            # Galerkin coarse Hessian PᵀHP with piecewise-constant P:
+            # scatter each edge's four 6x6 blocks onto supernode pairs
+            Hij = jnp.einsum("eab,ea,eac->ebc", Ji, w_e, Jj)
+            Hc = jnp.zeros((C, 6, C, 6), Ji.dtype)
+            Hc = Hc.at[ci, :, ci, :].add(Hi)
+            Hc = Hc.at[cj, :, cj, :].add(Hj)
+            Hc = Hc.at[ci, :, cj, :].add(Hij)
+            Hc = Hc.at[cj, :, ci, :].add(jnp.swapaxes(Hij, 1, 2))
+            Hc = Hc.at[cp, :, cp, :].add(Hp)
+            # aggregated damping keeps empty supernodes invertible
+            Hc = Hc.at[cidx, :, cidx, :].add(damp_blocks)
+            Lc = jnp.linalg.cholesky(
+                Hc.reshape(C * 6, C * 6)
+                + 1e-6 * jnp.eye(C * 6, dtype=Ji.dtype)
+            )
+
+            def precond(v):
+                z = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+                vc = jnp.zeros((C, 6), v.dtype).at[cidx].add(v)
+                yc = jax.scipy.linalg.cho_solve(
+                    (Lc, True), vc.reshape(-1)
+                ).reshape(C, 6)
+                return z + yc[cidx]
+        else:
+
+            def precond(v):
+                return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
 
         def Hx(v):
             return _apply_H(v, g, Ji, Jj, w_e, Jp, w_p, damp_blocks)

@@ -582,6 +582,7 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         cg_iters=cfg.optimizer.cg_iters,
         damping=cfg.optimizer.damping,
         huber_delta=cfg.optimizer.huber_delta,
+        coarse_stride=cfg.optimizer.coarse_stride,
     )
     # compact deferred entries back to the queue front (stable order)
     Q = q.i.shape[0]

@@ -115,6 +115,29 @@ class TestSolver:
         # loop-closed trajectory should be globally consistent to ~odometry noise
         assert err.mean() < 0.5
 
+    def test_coarse_grid_preconditioner_beats_block_jacobi(self):
+        """Long chain + one loop closure: block-Jacobi PCG needs O(N)
+        iterations to carry the correction across the chain; the two-level
+        (coarse supernode) preconditioner must reach a lower chi2 with HALF
+        the CG budget (measured 2x on 1024/4096-pose loops)."""
+        n, cap = 256, 288
+        gt = circle_trajectory(n, radius=30.0)
+        g = noisy_odometry_graph(
+            gt, jax.random.PRNGKey(5), sigma_rot=0.005, sigma_trans=0.03,
+            cap=cap,
+        )
+        z = se3.between(se3.index(gt, n - 1), se3.index(gt, 0))
+        g = F.add_between(g, n - 1, 0, z, [1.0 / 0.01] * 6)
+        init = pad_poses(integrate_odometry(g, n, se3.index(gt, 0)), cap)
+        plain = solver.solve(g, init, gn_iters=4, cg_iters=32,
+                             coarse_stride=0)
+        two_level = solver.solve(g, init, gn_iters=4, cg_iters=16,
+                                 coarse_stride=16)
+        c_plain = float(np.asarray(plain.chi2_history)[-1])
+        c_two = float(np.asarray(two_level.chi2_history)[-1])
+        assert np.isfinite(c_two)
+        assert c_two < c_plain, (c_two, c_plain)
+
     def test_monotone_chi2(self):
         n, cap = 16, 32
         gt = circle_trajectory(n)
