@@ -129,7 +129,11 @@ def voxel_downsample(cloud: Cloud, leaf: float, out_capacity: int | None = None)
 
 
 def voxel_downsample_hash(
-    cloud: Cloud, leaf: float, out_capacity: int, hash_slots: int = 1 << 15
+    cloud: Cloud,
+    leaf: float,
+    out_capacity: int,
+    hash_slots: int = 1 << 15,
+    predecimate_factor: int = 4,
 ) -> Cloud:
     """Approximate voxel downsample in ONE scatter pass — the ingest fast path.
 
@@ -156,6 +160,21 @@ def voxel_downsample_hash(
     n = cloud.capacity
     if n > 65536:
         return voxel_downsample(cloud, leaf, out_capacity)
+    # Pre-decimation: the scatter-min below serializes at ~10 ns/point on
+    # TPU and the output is capped at ``out_capacity`` voxels regardless of
+    # input size, so feeding it many times that many points only buys
+    # scatter time. A static stride slice down to ``predecimate_factor x
+    # out_capacity`` points keeps occupied-voxel count comfortably above the
+    # cap (LiDAR scans put 4x points over >2x-the-cap voxels) while cutting
+    # the dominant scatter cost proportionally. Stride decimation is an
+    # unbiased spatial subsample, so representative quality is unchanged up
+    # to in-voxel jitter that the leaf already quantizes away. Disable with
+    # ``predecimate_factor=0``.
+    target = predecimate_factor * out_capacity
+    if predecimate_factor > 0 and n > 2 * target:
+        stride = n // target
+        cloud = Cloud(cloud.xyz[::stride], cloud.mask[::stride])
+        n = cloud.capacity
     inv_leaf = 1.0 / leaf
     w = cloud.mask.astype(cloud.xyz.dtype)
     mean = jnp.sum(cloud.xyz * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
