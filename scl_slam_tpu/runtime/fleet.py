@@ -1,0 +1,287 @@
+"""Centralized multi-robot serving: every robot in ONE device-resident state.
+
+The decentralized :class:`~scl_slam_tpu.runtime.mapper.Mapper` + bus path
+mirrors the reference's N-node architecture (reference
+``src/distributedMapping.cpp`` runs one node per robot; each node re-ingests
+every peer's descriptors and keyframe clouds move only inside geometric-
+verification RPCs, ``include/distributedMapping.h:556-648, 1189-1268``).
+That replication is the right shape for N onboard computers — and pure
+overhead when one TPU serves the whole fleet:
+
+- N copies of the descriptor DB / pose chains (one per node) collapse to
+  the single :class:`MapperState`, which already block-partitions its
+  fixed-capacity arrays by robot.
+- Descriptor broadcast/ingest dispatches disappear: a keyframe ingested for
+  robot r IS visible to every query immediately.
+- Inter-robot geometric verification needs no RPC and no cloud payload:
+  every robot's keyframe clouds are resident, so verification is an
+  in-state submap RANSAC under ``lax.cond`` — same cost profile as the
+  intra-robot path (``_detect_intra``).
+- The pose-graph solve was always joint (slots are global); one drain
+  optimizes the whole fleet.
+
+One jitted program (``_fleet_step``) processes a batch of keyframes from
+any mix of robots: ``lax.scan`` over frames, each iteration = ingest +
+intra-loop detect + inter-loop detect/verify. Distinct batch sizes compile
+separate variants; callers see at most ``number_of_robots`` variants since
+a step drains at most one staged keyframe per robot.
+
+This is a beyond-parity serving mode (PARITY.md); the decentralized path
+remains the reference-parity architecture and the two share every stage
+function.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..descriptors import registry
+from ..geometry import se3
+from ..ops import pointcloud as pc
+from ..ops import registration as reg
+from .mapper import (
+    Mapper,
+    _detect_intra,
+    _gather_submap,
+    _ingest,
+    _queue_loop,
+    encode_kf,
+)
+
+
+def _detect_verify_inter_central(state, robot, key, cfg: SlamConfig):
+    """Inter-robot loop closure without an RPC: detect + verify in one state.
+
+    Fuses the reference's client/server pair (``performInterLoopClosure``
+    ``distributedMapping.h:1272-1338`` + ``geometricVerificationService``
+    ``:1189-1268``): the inter-mode query finds a cross-robot candidate for
+    the latest keyframe of ``robot``; RANSAC then aligns that keyframe's
+    resident cloud against the submap around the matched peer keyframe —
+    both sides live in the same MapperState. The verified factor is queued
+    once (one shared graph; the reference queues it in both nodes' graphs).
+
+    Returns ``(state, ok, peer_robot, peer_index, inlier_ratio)``.
+    """
+    K = cfg.keyframe.max_keyframes
+    fam = registry.get_family(cfg)
+    pos = state.counts[robot] - 1
+    slot = robot * K + jnp.maximum(pos, 0)
+    q_idx = state.desc_db.index[slot]
+
+    descriptor = fam.from_db(state.desc_db, slot)
+    match = fam.query(state.desc_db, descriptor, robot, q_idx, mode="inter")
+    already = state.loop_target[slot] >= 0
+    attempt = match.found & ~already & (pos >= 0)
+
+    # verification inputs gathered OUTSIDE the cond (cond operands that
+    # reference the full keyframe array become branch operands and force a
+    # padded multi-GB copy — see the note in mapper._detect_intra)
+    P = cfg.keyframe.points_per_keyframe
+    cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
+    cloud = pc.Cloud(state.kf_xyz[slot].reshape(P, 3), state.kf_mask[slot])
+    world = pc.transform(cloud, cur_pose.R, cur_pose.t)
+    pre_slot = jnp.where(attempt, match.db_pos, slot)
+    submap = _gather_submap(state, pre_slot, match.robot, cfg)
+
+    def verify(operands):
+        w_xyz, w_mask, sub_xyz, sub_mask = operands
+        res = reg.ransac_align(
+            pc.Cloud(w_xyz, w_mask),
+            pc.Cloud(sub_xyz, sub_mask),
+            key,
+            num_hypotheses=cfg.loop.ransac_max_iter,
+            inlier_thresh=cfg.loop.ransac_outlier_threshold,
+            min_inlier_ratio=cfg.loop.ransac_inlier_ratio,
+        )
+        return res.success, res.pose.R, res.pose.t, res.inlier_ratio
+
+    def skip(operands):
+        dt = state.opt_t.dtype
+        return (
+            jnp.array(False),
+            jnp.eye(3, dtype=dt),
+            jnp.zeros(3, dt),
+            jnp.array(0.0, dt),
+        )
+
+    success, a_R, a_t, ratio = jax.lax.cond(
+        attempt, verify, skip, operand=(world.xyz, world.mask, submap.xyz, submap.mask)
+    )
+    ok = attempt & success
+
+    # factor z = T_pre^-1 ∘ (alignment ∘ T_cur): identical to the RPC path
+    # (mapper._verify_ransac) with cur_pose_est read directly from state
+    corrected = se3.compose(se3.Pose(a_R, a_t), cur_pose)
+    pre_pose = se3.Pose(state.opt_R[pre_slot], state.opt_t[pre_slot])
+    z = se3.between(pre_pose, corrected)
+    noise = jnp.maximum(1.0 - ratio, 1e-3)
+    queued = _queue_loop(
+        state,
+        encode_kf(match.robot, match.index),
+        encode_kf(robot, q_idx),
+        z,
+        noise,
+        cfg,
+    )
+    # select only the fields _queue_loop touches — a whole-tree select would
+    # copy the keyframe arrays every frame
+    sel = lambda a, b: jnp.where(ok, a, b)
+    state = state._replace(
+        loop_queue=jax.tree_util.tree_map(sel, queued.loop_queue, state.loop_queue),
+        loop_target=sel(queued.loop_target, state.loop_target),
+        loop_closed=sel(queued.loop_closed, state.loop_closed),
+    )
+    return state, ok, match.robot, match.index, ratio
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _fleet_step(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
+    """Process a batch of keyframes (any mix of robots) in ONE program.
+
+    ``lax.scan`` over the batch: each frame is ingested, then intra- and
+    inter-robot loop closure run for it (ICP/RANSAC under scalar
+    ``lax.cond`` — only taken branches execute, so frames without
+    candidates stay retrieval-bound). Returns the updated state, advanced
+    RNG key, and per-frame event arrays.
+    """
+
+    def one(carry, inp):
+        st, k = carry
+        r, pR, pt, x, m, s = inp
+        st, _ = _ingest(st, r, se3.Pose(pR, pt), x, m, s, cfg)
+        st, ok_i, match_i, fit = _detect_intra(st, r, cfg)
+        if cfg.loop.inter_enabled and cfg.number_of_robots > 1:
+            k, sub = jax.random.split(k)
+            st, ok_x, peer, p_idx, ratio = _detect_verify_inter_central(
+                st, r, sub, cfg
+            )
+        else:
+            ok_x = jnp.array(False)
+            peer = jnp.array(0, jnp.int32)
+            p_idx = jnp.array(0, jnp.int32)
+            ratio = jnp.array(0.0, st.opt_t.dtype)
+        return (st, k), (ok_i, match_i.index, fit, ok_x, peer, p_idx, ratio)
+
+    (state, key), outs = jax.lax.scan(
+        one, (state, key), (robots, pose_R, pose_t, xyz, mask, stamps)
+    )
+    return state, key, outs
+
+
+class FleetMapper(Mapper):
+    """Serve N robots' SLAM sessions from one shared device-resident state.
+
+    Host surface: feed odometry frames per robot with
+    :meth:`add_robot_frame` (keyframe-gated per robot), then :meth:`step`
+    drains all staged keyframes in one device program. Everything inherited
+    from :class:`Mapper` that reads the full state (``trajectory``,
+    ``global_map``, ``save_trajectories``, ``loop_constraints``,
+    ``export_artifacts``, eviction) works unchanged — the state layout is
+    identical; only the feeding path differs.
+    """
+
+    def __init__(self, cfg: SlamConfig):
+        super().__init__(cfg)
+        self._fleet_last_pose: dict[int, se3.Pose] = {}
+        self._fleet_staged: list[tuple] = []
+        self._staged_per_robot: dict[int, int] = {}
+        self._fleet_key = jax.random.PRNGKey(cfg.robot_id + 101)
+
+    # -- feeding --
+    def add_robot_frame(
+        self, robot: int, pose: se3.Pose, xyz: np.ndarray, stamp: float = 0.0
+    ) -> bool:
+        """Gate + stage one robot's odometry frame. Returns True when it
+        became a keyframe (processed at the next :meth:`step`)."""
+        if not (0 <= robot < self.cfg.number_of_robots):
+            raise ValueError(f"robot {robot} out of range")
+        last = self._fleet_last_pose.get(robot)
+        if last is not None:
+            d = se3.between(last, pose)
+            dist = float(jnp.linalg.norm(d.t))
+            ang = float(jnp.linalg.norm(se3.log(d)[:3]))
+            if (
+                dist < self.cfg.keyframe.distance_threshold
+                and ang < self.cfg.keyframe.angle_threshold
+            ):
+                return False
+        self._fleet_last_pose[robot] = pose
+        cloud = pc.from_points(xyz, self.cfg.keyframe.raw_points_capacity)
+        self._fleet_staged.append((robot, pose, cloud, float(stamp)))
+        self._staged_per_robot[robot] = self._staged_per_robot.get(robot, 0) + 1
+        return True
+
+    # -- processing --
+    def step(self) -> list[dict]:
+        """Process every staged keyframe in one device program.
+
+        Returns one event dict per processed keyframe with any intra/inter
+        loop closures found for it.
+        """
+        if not self._fleet_staged:
+            return []
+        # per-robot capacity: compact (loop-anchor-preserving eviction)
+        # before the batch lands, exactly like Mapper.add_frame
+        for r, n_staged in self._staged_per_robot.items():
+            while (
+                int(self.state.counts[r]) + n_staged
+                > self.cfg.keyframe.max_keyframes
+            ):
+                self._compact(r)
+        staged, self._fleet_staged = self._fleet_staged, []
+        self._staged_per_robot = {}
+        robots = jnp.asarray([s[0] for s in staged], jnp.int32)
+        pose_R = jnp.stack([s[1].R for s in staged])
+        pose_t = jnp.stack([s[1].t for s in staged])
+        xyz = jnp.stack([s[2].xyz for s in staged])
+        mask = jnp.stack([s[2].mask for s in staged])
+        stamps = jnp.asarray([s[3] for s in staged], jnp.float32)
+
+        self.state, self._fleet_key, outs = _fleet_step(
+            self.state,
+            self._fleet_key,
+            robots,
+            pose_R,
+            pose_t,
+            xyz,
+            mask,
+            stamps,
+            self.cfg,
+        )
+        ok_i, idx_i, fit, ok_x, peer, p_idx, ratio = (np.asarray(o) for o in outs)
+        events = []
+        for b, (r, _, _, _) in enumerate(staged):
+            ev: dict = {"robot": r}
+            if ok_i[b]:
+                ev["loop"] = {
+                    "matched_index": int(idx_i[b]),
+                    "fitness": float(fit[b]),
+                }
+            if ok_x[b]:
+                ev["inter_loop"] = {
+                    "robot": int(peer[b]),
+                    "matched_index": int(p_idx[b]),
+                    "inlier_ratio": float(ratio[b]),
+                }
+            events.append(ev)
+        return events
+
+    def spin(self, now: float | None = None) -> dict:
+        """Throttled joint optimization (the loop-thread trigger of
+        ``Mapper.spin_once`` without the per-robot detection calls — the
+        fleet path detects inside :meth:`step`)."""
+        import time as _time
+
+        now = _time.monotonic() if now is None else now
+        info: dict = {}
+        due = (now - self._last_opt_time) >= (
+            self.cfg.optimizer.mapping_process_interval
+        )
+        if bool(self.state.loop_closed) and due:
+            info["chi2"] = self.optimize()
+            self._last_opt_time = now
+        return info

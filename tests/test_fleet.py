@@ -1,0 +1,178 @@
+"""Centralized fleet serving (runtime/fleet.py::FleetMapper).
+
+The beyond-parity serving mode: every robot in one device-resident state,
+one device program per fleet batch, inter-robot verification without RPCs.
+Mirrors the decentralized scenarios of tests/test_multi_robot.py so the two
+architectures are validated on the same workloads.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scl_slam_tpu.config import (
+    KeyframeConfig,
+    LoopConfig,
+    OptimizerConfig,
+    ScanContextParams,
+    SlamConfig,
+)
+from scl_slam_tpu.geometry import se3
+from scl_slam_tpu.io import kitti, trajectory as tio
+from scl_slam_tpu.runtime import FleetMapper
+
+
+def fleet_cfg(n_robots=2, max_keyframes=64):
+    return SlamConfig(
+        number_of_robots=n_robots,
+        robot_id=0,
+        keyframe=KeyframeConfig(
+            max_keyframes=max_keyframes,
+            points_per_keyframe=2048,
+            raw_points_capacity=4096,
+            distance_threshold=2.0,
+            descript_leaf_size=0.3,
+        ),
+        loop=LoopConfig(
+            near_keyframes=4,
+            submap_capacity=8192,
+            icp_iterations=20,
+            history_fitness_score=8.0,
+            ransac_inlier_ratio=0.3,
+            ransac_outlier_threshold=1.0,
+        ),
+        optimizer=OptimizerConfig(
+            edge_capacity=512,
+            gn_iters=6,
+            cg_iters=48,
+            odometry_sigmas=(0.005,) * 3 + (0.05,) * 3,
+            loop_noise_scale=0.05,
+        ),
+        scan_context=ScanContextParams(exclude_recent=10, num_candidates=6),
+    )
+
+
+def as_pose(T):
+    return se3.Pose(
+        jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
+    )
+
+
+@pytest.fixture(scope="module")
+def fleet_run():
+    """Two robots, overlapping arcs, robot b's odometry drifts forward."""
+    world = kitti.SyntheticWorld(
+        seed=9, extent=100.0, n_clusters=70, pts_per_cluster=800
+    )
+    gt = kitti.loop_trajectory(n_frames=64, radius=32.0, revisit=False)
+    split = [list(range(0, 40)), list(range(28, 64))]
+
+    drift = se3.exp(jnp.array([0, 0, 0.001, 0.05, 0.0, 0.0]))
+    b_poses = {}
+    for k in split[1]:
+        if not b_poses:
+            b_poses[k] = as_pose(gt[k])
+        else:
+            inc_np = np.linalg.inv(gt[k - 1]) @ gt[k]
+            b_poses[k] = se3.compose(
+                b_poses[k - 1], se3.compose(as_pose(inc_np), drift)
+            )
+
+    fm = FleetMapper(fleet_cfg())
+    events = []
+    for step in range(max(len(s) for s in split)):
+        for rid, frames in enumerate(split):
+            if step >= len(frames):
+                continue
+            k = frames[step]
+            scan = world.scan_at(gt[k], max_points=4096, seed=k)
+            pose = as_pose(gt[k]) if rid == 0 else b_poses[k]
+            fm.add_robot_frame(rid, pose, scan, stamp=0.1 * k)
+        events.extend(fm.step())
+    fm.optimize()
+    return world, gt, split, b_poses, fm, events
+
+
+class TestFleet:
+    def test_keyframes_land_in_robot_blocks(self, fleet_run):
+        _, _, split, _, fm, _ = fleet_run
+        assert int(fm.state.counts[0]) == len(split[0])
+        assert int(fm.state.counts[1]) == len(split[1])
+
+    def test_inter_loops_found_without_rpc(self, fleet_run):
+        _, _, _, _, _, events = fleet_run
+        inter = [e for e in events if "inter_loop" in e]
+        assert len(inter) >= 1, "overlapping arcs must produce inter loops"
+        for e in inter:
+            assert e["inter_loop"]["robot"] != e["robot"]
+            assert 0.0 < e["inter_loop"]["inlier_ratio"] <= 1.0
+
+    def test_joint_solve_corrects_peer_drift(self, fleet_run):
+        """Same payoff criterion as the decentralized peer-drift test:
+        robot b's optimized ATE beats dead reckoning."""
+        _, gt, split, b_poses, fm, _ = fleet_run
+        est_b = fm.trajectory(robot=1)
+        stamps_b = fm.keyframe_stamps(robot=1)
+        frame_ids = [int(round(float(s) / 0.1)) for s in stamps_b]
+        gt_b = np.stack([gt[k] for k in frame_ids])
+        dead_b = np.stack(
+            [np.asarray(se3.to_matrix(b_poses[k])) for k in frame_ids]
+        )
+        ate_opt = tio.ate_rmse(est_b, gt_b)
+        ate_dead = tio.ate_rmse(dead_b, gt_b)
+        assert ate_opt < ate_dead, (
+            f"fleet joint solve must reduce b's ATE: {ate_opt} vs {ate_dead}"
+        )
+
+    def test_loop_constraints_exported(self, fleet_run):
+        _, _, _, _, fm, events = fleet_run
+        inter = [e for e in events if "inter_loop" in e]
+        cons = fm.loop_constraints()
+        assert len(cons) >= len(inter)
+
+    def test_variable_batch_sizes(self):
+        """step() must handle any staged batch size (1..N robots)."""
+        world = kitti.SyntheticWorld(seed=3)
+        gt = kitti.loop_trajectory(n_frames=12, radius=20.0, revisit=False)
+        fm = FleetMapper(fleet_cfg())
+        # batch of 1 (only robot 0), then batch of 2
+        fm.add_robot_frame(0, as_pose(gt[0]), world.scan_at(gt[0], 4096, seed=0))
+        assert len(fm.step()) == 1
+        fm.add_robot_frame(0, as_pose(gt[3]), world.scan_at(gt[3], 4096, seed=3))
+        fm.add_robot_frame(1, as_pose(gt[8]), world.scan_at(gt[8], 4096, seed=8))
+        assert len(fm.step()) == 2
+        assert fm.step() == []  # nothing staged
+        assert int(fm.state.counts[0]) == 2 and int(fm.state.counts[1]) == 1
+
+    def test_keyframe_gate_per_robot(self):
+        world = kitti.SyntheticWorld(seed=3)
+        T = np.eye(4)
+        fm = FleetMapper(fleet_cfg())
+        scan = world.scan_at(T, 4096, seed=0)
+        assert fm.add_robot_frame(0, as_pose(T), scan)
+        # same pose again: gated for robot 0, but robot 1's first frame passes
+        assert not fm.add_robot_frame(0, as_pose(T), scan)
+        assert fm.add_robot_frame(1, as_pose(T), scan)
+
+    def test_eviction_keeps_fleet_running(self):
+        """At tiny capacity the per-robot compaction must fire and protocol
+        indices stay monotone (fixed-lag archive intact)."""
+        world = kitti.SyntheticWorld(seed=4)
+        gt = kitti.loop_trajectory(n_frames=40, radius=25.0, revisit=False)
+        cfg = fleet_cfg(max_keyframes=8)
+        cfg = dataclasses.replace(
+            cfg,
+            loop=dataclasses.replace(cfg.loop, intra_enabled=False,
+                                     inter_enabled=False),
+        )
+        fm = FleetMapper(cfg)
+        for k in range(0, 40, 2):
+            fm.add_robot_frame(0, as_pose(gt[k]), world.scan_at(gt[k], 4096, seed=k),
+                               stamp=0.1 * k)
+            fm.step()
+        assert int(fm.state.counts[0]) <= 8
+        poses, stamps = fm.full_trajectory(robot=0)
+        assert len(poses) == 20  # evicted frames still exported
+        assert np.all(np.diff(stamps) > 0)
