@@ -30,6 +30,10 @@ def main(argv=None):
                    help="frames of overlap between adjacent robot segments")
     p.add_argument("--output", default="/tmp/scl_slam_tpu_multi")
     p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--fleet", action="store_true",
+                   help="centralized serving: one shared device state for "
+                   "all robots (runtime/fleet.py) instead of N decentralized "
+                   "mappers over the bus")
     args = p.parse_args(argv)
 
     import jax
@@ -70,40 +74,70 @@ def main(argv=None):
         for r in range(R)
     ]
 
-    bus = LocalBus()
-    mappers = []
-    for r in range(R):
-        cfg = SlamConfig(number_of_robots=R, robot_id=r, robot_name=chr(ord("a") + r))
-        m = Mapper(cfg)
-        m.attach_bus(bus)
-        mappers.append(m)
+    if args.fleet:
+        from .runtime import FleetMapper
 
-    t0 = time.perf_counter()
-    inter_loops = intra_loops = 0
-    for step in range(max(len(s) for s in splits)):
+        fleet = FleetMapper(
+            SlamConfig(number_of_robots=R, robot_id=0, robot_name="a")
+        )
+        t0 = time.perf_counter()
+        inter_loops = intra_loops = 0
+        for step in range(max(len(s) for s in splits)):
+            for r in range(R):
+                if step >= len(splits[r]):
+                    continue
+                k = splits[r][step]
+                T = get_pose(k)
+                pose = se3.Pose(
+                    jnp.asarray(T[:3, :3], jnp.float32),
+                    jnp.asarray(T[:3, 3], jnp.float32),
+                )
+                fleet.add_robot_frame(r, pose, get_scan(k), stamp=0.1 * k)
+            for ev in fleet.step():
+                intra_loops += "loop" in ev
+                inter_loops += "inter_loop" in ev
+            fleet.spin()
+        fleet.optimize()
+        wall = time.perf_counter() - t0
+        mappers = [fleet]  # reporting below reads robot 0's (joint) view
+    else:
+        bus = LocalBus()
+        mappers = []
         for r in range(R):
-            if step >= len(splits[r]):
-                continue
-            k = splits[r][step]
-            T = get_pose(k)
-            pose = se3.Pose(
-                jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
+            cfg = SlamConfig(
+                number_of_robots=R, robot_id=r, robot_name=chr(ord("a") + r)
             )
-            wire = mappers[r].add_frame(pose, get_scan(k), stamp=0.1 * k)
-            if wire is not None:
-                mappers[r].broadcast_latest(wire)
-                info = mappers[r].spin_once()
-                if info.get("loop"):
-                    intra_loops += 1
-                if info.get("inter_loop"):
-                    inter_loops += 1
-    for m in mappers:
-        m.optimize()
-    wall = time.perf_counter() - t0
+            m = Mapper(cfg)
+            m.attach_bus(bus)
+            mappers.append(m)
+
+        t0 = time.perf_counter()
+        inter_loops = intra_loops = 0
+        for step in range(max(len(s) for s in splits)):
+            for r in range(R):
+                if step >= len(splits[r]):
+                    continue
+                k = splits[r][step]
+                T = get_pose(k)
+                pose = se3.Pose(
+                    jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
+                )
+                wire = mappers[r].add_frame(pose, get_scan(k), stamp=0.1 * k)
+                if wire is not None:
+                    mappers[r].broadcast_latest(wire)
+                    info = mappers[r].spin_once()
+                    if info.get("loop"):
+                        intra_loops += 1
+                    if info.get("inter_loop"):
+                        inter_loops += 1
+        for m in mappers:
+            m.optimize()
+        wall = time.perf_counter() - t0
 
     mappers[0].save_trajectories(args.output)
     report = {
         "robots": R,
+        "mode": "fleet" if args.fleet else "decentralized",
         "frames": n,
         "intra_loops": intra_loops,
         "inter_loops": inter_loops,
