@@ -96,6 +96,11 @@ class OptimizerConfig:
     # Needed for long trajectories: block-Jacobi CG takes O(N) iterations
     # to carry a loop correction across an N-pose chain.
     coarse_stride: int = 0
+    # >1: additive multilevel (BPX) hierarchy — level l aggregates
+    # coarse_stride**l poses; only the coarsest level solves densely. Use
+    # when n_poses/coarse_stride is itself too large for a dense Cholesky
+    # (10^5+ pose city-scale sessions).
+    coarse_levels: int = 1
     damping: float = 1e-6
     huber_delta: float = 1e9             # disabled by default (ref has no robust kernel)
     # noise models as sigmas (rot x3, trans x3); reference expresses these as

@@ -104,7 +104,10 @@ def _apply_H(x, g, Ji, Jj, w_e, Jp, w_p, D_damp_only):
     return y
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "coarse_stride"))
+@partial(
+    jax.jit,
+    static_argnames=("gn_iters", "cg_iters", "coarse_stride", "coarse_levels"),
+)
 def solve(
     g: F.FactorGraph,
     poses: se3.Pose,
@@ -113,6 +116,7 @@ def solve(
     damping: float = 1e-6,
     huber_delta: float = 1e9,
     coarse_stride: int = 0,
+    coarse_levels: int = 1,
 ) -> SolveResult:
     """Damped Gauss-Newton with PCG inner solves.
 
@@ -128,6 +132,15 @@ def solve(
     densely by segment scatter (a [C·6, C·6] matrix — one MXU Cholesky), and
     M⁻¹ = blockJacobi + P A_c⁻¹ Pᵀ (additive, SPD). Long-range modes then
     converge in O(1) iterations regardless of trajectory length.
+
+    ``coarse_levels`` > 1 turns the two-level scheme into an additive
+    multilevel (BPX-style) hierarchy: level l aggregates ``coarse_stride**l``
+    consecutive poses; intermediate levels contribute block-Jacobi solves of
+    their Galerkin supernode diagonals and only the coarsest level builds the
+    dense PᵀHP Cholesky. This keeps the dense factor small when trajectories
+    outgrow what one dense coarse solve can cover (10^5+ poses: stride 16,
+    3 levels → a 10^5/16³ ≈ 25-supernode dense solve instead of 6k).
+    M⁻¹ = Σ_l P_l D_l⁻¹ P_lᵀ + P_L A_L⁻¹ P_Lᵀ stays SPD for CG.
     """
     n_poses = poses.t.shape[0]
     eye6 = jnp.eye(6, dtype=poses.t.dtype)
@@ -158,32 +171,56 @@ def solve(
         L = jnp.linalg.cholesky(D)
 
         if coarse_stride > 0:
-            C = (n_poses + coarse_stride - 1) // coarse_stride
-            cidx = jnp.arange(n_poses) // coarse_stride          # [N]
-            ci, cj, cp = cidx[g.i], cidx[g.j], cidx[g.prior_idx]
-            # Galerkin coarse Hessian PᵀHP with piecewise-constant P:
-            # scatter each edge's four 6x6 blocks onto supernode pairs
             Hij = jnp.einsum("eab,ea,eac->ebc", Ji, w_e, Jj)
-            Hc = jnp.zeros((C, 6, C, 6), Ji.dtype)
-            Hc = Hc.at[ci, :, ci, :].add(Hi)
-            Hc = Hc.at[cj, :, cj, :].add(Hj)
-            Hc = Hc.at[ci, :, cj, :].add(Hij)
-            Hc = Hc.at[cj, :, ci, :].add(jnp.swapaxes(Hij, 1, 2))
-            Hc = Hc.at[cp, :, cp, :].add(Hp)
-            # aggregated damping keeps empty supernodes invertible
-            Hc = Hc.at[cidx, :, cidx, :].add(damp_blocks)
-            Lc = jnp.linalg.cholesky(
-                Hc.reshape(C * 6, C * 6)
-                + 1e-6 * jnp.eye(C * 6, dtype=Ji.dtype)
-            )
+            jacobi_levels = []  # (cidx [N], Ll [C,6,6] cholesky) per mid level
+            for lvl in range(1, coarse_levels + 1):
+                stride_l = coarse_stride ** lvl
+                C = (n_poses + stride_l - 1) // stride_l
+                cidx = jnp.arange(n_poses) // stride_l           # [N]
+                ci, cj, cp = cidx[g.i], cidx[g.j], cidx[g.prior_idx]
+                if lvl < coarse_levels:
+                    # Galerkin supernode DIAGONAL only: the two self blocks
+                    # always land on the diagonal; the cross blocks do when
+                    # both endpoints share a supernode (intra-supernode
+                    # odometry edges — the vast majority at small strides).
+                    # Row C is the dump slot for inter-supernode edges.
+                    same = ci == cj
+                    Dl = jnp.zeros((C + 1, 6, 6), Ji.dtype)
+                    Dl = Dl.at[ci].add(Hi).at[cj].add(Hj).at[cp].add(Hp)
+                    dump = jnp.where(same, ci, C)
+                    sym = Hij + jnp.swapaxes(Hij, 1, 2)
+                    Dl = Dl.at[dump].add(sym)
+                    Dl = Dl[:C].at[cidx].add(damp_blocks)
+                    jacobi_levels.append((cidx, jnp.linalg.cholesky(Dl)))
+                else:
+                    # coarsest: dense Galerkin PᵀHP, one MXU Cholesky
+                    Hc = jnp.zeros((C, 6, C, 6), Ji.dtype)
+                    Hc = Hc.at[ci, :, ci, :].add(Hi)
+                    Hc = Hc.at[cj, :, cj, :].add(Hj)
+                    Hc = Hc.at[ci, :, cj, :].add(Hij)
+                    Hc = Hc.at[cj, :, ci, :].add(jnp.swapaxes(Hij, 1, 2))
+                    Hc = Hc.at[cp, :, cp, :].add(Hp)
+                    # aggregated damping keeps empty supernodes invertible
+                    Hc = Hc.at[cidx, :, cidx, :].add(damp_blocks)
+                    Lc = jnp.linalg.cholesky(
+                        Hc.reshape(C * 6, C * 6)
+                        + 1e-6 * jnp.eye(C * 6, dtype=Ji.dtype)
+                    )
+                    top_cidx, top_C = cidx, C
 
             def precond(v):
                 z = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
-                vc = jnp.zeros((C, 6), v.dtype).at[cidx].add(v)
+                for cidx_l, Ll in jacobi_levels:
+                    vc = jnp.zeros((Ll.shape[0], 6), v.dtype).at[cidx_l].add(v)
+                    zc = jax.scipy.linalg.cho_solve((Ll, True), vc[..., None])[
+                        ..., 0
+                    ]
+                    z = z + zc[cidx_l]
+                vc = jnp.zeros((top_C, 6), v.dtype).at[top_cidx].add(v)
                 yc = jax.scipy.linalg.cho_solve(
                     (Lc, True), vc.reshape(-1)
-                ).reshape(C, 6)
-                return z + yc[cidx]
+                ).reshape(top_C, 6)
+                return z + yc[top_cidx]
         else:
 
             def precond(v):

@@ -249,11 +249,43 @@ def scatter_max_image(
     num_rings: int,
     num_sectors: int,
     init: float = 0.0,
+    block: int = 2048,
 ) -> jax.Array:
-    """Bin-wise max image [num_rings, num_sectors] from per-point values."""
-    flat_idx = jnp.where(valid, ring * num_sectors + sector, num_rings * num_sectors)
-    img = jnp.full((num_rings * num_sectors + 1,), init, dtype=values.dtype)
-    img = img.at[flat_idx].max(jnp.where(valid, values, init))
+    """Bin-wise max image [num_rings, num_sectors] from per-point values.
+
+    XLA lowers a scatter-max over n points to a serial per-update loop on TPU
+    (~10 ns/point: 0.65 ms at a 64k-point scan — the single largest piece of
+    descriptor construction). For the small bin counts of Scan Context
+    (20x60 = 1200) a blockwise DENSE reduction is far faster: compare each
+    point's flat bin index against all bins ([bins, block] select + max — a
+    vectorized VPU reduction), then max across blocks. Falls back to scatter
+    when bins * block work would exceed the pointwise-scatter cost (e.g.
+    Iris's 28800 bins).
+    """
+    nb = num_rings * num_sectors
+    n = values.shape[-1]
+    flat_idx = jnp.where(valid, ring * num_sectors + sector, nb).astype(jnp.int32)
+    vals = jnp.where(valid, values, init)
+    # dense path is a win when bins*n compare-ops beat ~serialized n updates;
+    # empirically the crossover is around 4k bins for 2k-point blocks
+    if nb * min(block, n) <= (1 << 23) and n % block == 0 and n >= block:
+        bins = jnp.arange(nb, dtype=jnp.int32)[:, None]  # [nb, 1]
+
+        def one_block(carry, inp):
+            bi, bv = inp  # [block], [block]
+            hit = bins == bi[None, :]                     # [nb, block]
+            m = jnp.max(jnp.where(hit, bv[None, :], init), axis=1)
+            return jnp.maximum(carry, m), None
+
+        img0 = jnp.full((nb,), init, dtype=values.dtype)
+        img, _ = jax.lax.scan(
+            one_block,
+            img0,
+            (flat_idx.reshape(-1, block), vals.reshape(-1, block)),
+        )
+        return img.reshape(num_rings, num_sectors)
+    img = jnp.full((nb + 1,), init, dtype=values.dtype)
+    img = img.at[flat_idx].max(vals)
     return img[:-1].reshape(num_rings, num_sectors)
 
 

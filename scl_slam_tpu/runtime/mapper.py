@@ -583,6 +583,7 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         damping=cfg.optimizer.damping,
         huber_delta=cfg.optimizer.huber_delta,
         coarse_stride=cfg.optimizer.coarse_stride,
+        coarse_levels=cfg.optimizer.coarse_levels,
     )
     # compact deferred entries back to the queue front (stable order)
     Q = q.i.shape[0]

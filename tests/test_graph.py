@@ -138,6 +138,32 @@ class TestSolver:
         assert np.isfinite(c_two)
         assert c_two < c_plain, (c_two, c_plain)
 
+    def test_multilevel_preconditioner_matches_two_level(self):
+        """BPX hierarchy (coarse_levels=2): same long-chain loop problem as
+        above, but the dense coarse factor covers only stride² supernodes.
+        Must beat block-Jacobi at the same reduced CG budget (the property
+        that makes 10^5-pose sessions tractable, where a stride-16 two-level
+        dense factor would be 6k x 6 dims)."""
+        n, cap = 256, 288
+        gt = circle_trajectory(n, radius=30.0)
+        g = noisy_odometry_graph(
+            gt, jax.random.PRNGKey(5), sigma_rot=0.005, sigma_trans=0.03,
+            cap=cap,
+        )
+        z = se3.between(se3.index(gt, n - 1), se3.index(gt, 0))
+        g = F.add_between(g, n - 1, 0, z, [1.0 / 0.01] * 6)
+        init = pad_poses(integrate_odometry(g, n, se3.index(gt, 0)), cap)
+        plain = solver.solve(g, init, gn_iters=4, cg_iters=32,
+                             coarse_stride=0)
+        multi = solver.solve(g, init, gn_iters=4, cg_iters=16,
+                             coarse_stride=8, coarse_levels=2)
+        c_plain = float(np.asarray(plain.chi2_history)[-1])
+        c_multi = float(np.asarray(multi.chi2_history)[-1])
+        assert np.isfinite(c_multi)
+        assert c_multi < c_plain, (c_multi, c_plain)
+        # dense coarse factor is 8x smaller than the stride-8 two-level one:
+        # cap/8² = 5 supernodes vs cap/8 = 36
+
     def test_monotone_chi2(self):
         n, cap = 16, 32
         gt = circle_trajectory(n)
