@@ -53,11 +53,23 @@ class KeyframeConfig:
     # the rest, keeping every evict_stride-th. The reference grows unbounded.
     evict_keep_recent: int = 64
     evict_stride: int = 2
-    # ingest storage downsample via the sort-free hash scatter
-    # (ops/pointcloud.py::voxel_downsample_hash; ~2.5x faster at 64k points;
-    # rare hash collisions merge voxels — storage-only, descriptors use the
-    # raw scan). False restores the exact sort-based voxel grid.
+    # ingest storage downsample (descriptors always use the raw scan):
+    #   "stride"     — fixed-permutation stride subsample, ONE gather
+    #                  (~0.05 ms/frame at 64k->4096); no voxel dedup, so
+    #                  near-field density persists (raw-scan statistics)
+    #   "voxel_hash" — sort-free hash scatter voxel grid (~0.68 ms); rare
+    #                  hash collisions merge voxels
+    #   "voxel"      — exact sort-based voxel grid (~2 ms), PCL-equivalent
+    storage_downsample: str = "stride"
+    # deprecated alias kept for config back-compat: False forces "voxel"
     fast_voxel: bool = True
+
+    def __post_init__(self):
+        if self.storage_downsample not in ("stride", "voxel_hash", "voxel"):
+            raise ValueError(
+                f"storage_downsample must be stride|voxel_hash|voxel, got "
+                f"{self.storage_downsample!r}"
+            )
 
 
 @dataclass(frozen=True)

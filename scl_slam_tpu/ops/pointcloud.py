@@ -215,6 +215,48 @@ def voxel_downsample_hash(
     return Cloud(xyz, out_mask)
 
 
+def stride_permute_downsample(cloud: Cloud, out_capacity: int) -> Cloud:
+    """Constant-time storage downsample: static-stride slice composed with a
+    fixed coprime permutation — ONE gather, no sort, no scatter.
+
+    The ingest fast-fast path (~0.05 ms at 64k -> 4096 vs 0.68 ms for the
+    hash voxel grid): LiDAR scans arrive in azimuthal sweep order, so a
+    stride slice is an azimuth-uniform subsample; composing with the
+    multiplicative permutation ``i -> (a*i + c) mod m`` (odd ``a``, power-of-
+    two ``m`` => bijective) makes every PREFIX of the stored cloud an
+    equally-spaced azimuthal subsample — the same prefix-slice-uniformity
+    property downstream code relies on from hash ordering (submap gathers,
+    ICP source slices, global-map budgets).
+
+    Unlike the voxel paths this does NO deduplication: near-field density
+    survives, matching raw-scan statistics instead of the reference's
+    VoxelGrid-equalized clouds. Acceptable for ICP targets/sources (1-NN
+    correspondence is density-insensitive; fitness gates shift by < the
+    synthetic-test margins — see tests/test_pipeline.py), not for
+    descriptor construction (which uses the raw scan anyway).
+
+    Requires the input mask to be a dense prefix (the ``from_points``
+    contract, true of every ingest source); the scrambled indices are scaled
+    into ``[0, count)`` so the output is itself fully dense — every gathered
+    row is a valid point even when the scan underfills its capacity. When
+    ``count < out_capacity`` (degenerate scans) points repeat, which is
+    harmless to 1-NN correspondence and masked statistics.
+    """
+    m = out_capacity
+    i = jnp.arange(m, dtype=jnp.uint32)
+    # golden-ratio-ish odd multiplier: i -> (a*i+1) mod m is a bijection for
+    # power-of-two m (odd a), a near-uniform scramble otherwise
+    a = (2654435761 % m) | 1
+    scramble = (jnp.uint32(a) * i + 1) % jnp.uint32(m)
+    count = cloud.count().astype(jnp.uint32)
+    # scale into the valid prefix; uint32 product < 2^32 for m, count <= 2^16
+    idx = ((scramble * count) // jnp.uint32(m)).astype(jnp.int32)
+    ok = count > 0
+    mask = jnp.broadcast_to(ok, (m,))
+    xyz = jnp.where(mask[:, None], cloud.xyz[idx], PAD_VALUE)
+    return Cloud(xyz, mask)
+
+
 def polar_bins(
     xyz: jax.Array,
     mask: jax.Array,

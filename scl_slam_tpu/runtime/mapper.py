@@ -108,12 +108,21 @@ def _ingest(
     # stored cloud is downsampled to keyframe capacity; the descriptor is
     # built from the RAW scan below (max-height binning needs no density
     # control, and subsampling before binning degrades match distances)
-    downsample = (
-        pc.voxel_downsample_hash if cfg.keyframe.fast_voxel else pc.voxel_downsample
-    )
-    small = downsample(
-        cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
-    )
+    mode = cfg.keyframe.storage_downsample
+    if not cfg.keyframe.fast_voxel:
+        mode = "voxel"  # back-compat alias
+    if mode == "stride":
+        small = pc.stride_permute_downsample(
+            cloud, cfg.keyframe.points_per_keyframe
+        )
+    elif mode == "voxel_hash":
+        small = pc.voxel_downsample_hash(
+            cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
+        )
+    else:
+        small = pc.voxel_downsample(
+            cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
+        )
 
     # optimized-frame pose for the new keyframe
     prev_odom = se3.Pose(state.odom_R[prev_slot], state.odom_t[prev_slot])
@@ -225,9 +234,10 @@ def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
     Reference ``loopFindNearKeyframes`` (``distributedMapping.h:1163-1186``).
     Fixed shapes: gathers 2*near+1 clouds, transforms each by its optimized
     pose, and takes a per-cloud PREFIX slice sized to fill submap_capacity —
-    stored keyframe clouds are hash-ordered (see ops.pointcloud), so a
-    prefix is already a uniform spatial subsample and no global
-    re-voxelization (an expensive TPU sort) is needed.
+    stored keyframe clouds are scramble-ordered (stride mode) or
+    hash-ordered (voxel modes; see ops.pointcloud), so a prefix is already
+    a uniform spatial subsample and no global re-voxelization (an expensive
+    TPU sort) is needed.
     """
     K = cfg.keyframe.max_keyframes
     near = cfg.loop.near_keyframes

@@ -163,6 +163,56 @@ class TestVoxelDownsampleHash:
         # padded lanes carry the sentinel
         assert (np.asarray(out.xyz)[n:] == pc.PAD_VALUE).all()
 
+    def test_stride_permute_full_cloud_distinct(self):
+        # power-of-two out_capacity on a full cloud: scramble is a bijection,
+        # so every output row is a distinct input point
+        rng = np.random.RandomState(6)
+        pts = rng.uniform(-30, 30, (4096, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, 4096)
+        out = pc.stride_permute_downsample(cloud, 1024)
+        assert int(out.count()) == 1024
+        kept = np.asarray(out.xyz)
+        keys = {p.tobytes() for p in kept}
+        all_keys = {p.tobytes() for p in pts}
+        assert len(keys) == 1024
+        assert keys <= all_keys
+
+    def test_stride_permute_underfilled_stays_dense(self):
+        # only 1000 of 4096 slots valid: output must still be fully dense
+        # and drawn exclusively from the valid prefix
+        rng = np.random.RandomState(7)
+        pts = rng.uniform(-30, 30, (1000, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, 4096)
+        out = pc.stride_permute_downsample(cloud, 512)
+        m = np.asarray(out.mask)
+        assert m.all(), "output mask must be fully dense"
+        kept = np.asarray(out.xyz)
+        all_keys = {p.tobytes() for p in pts}
+        for p in kept:
+            assert p.tobytes() in all_keys, "gathered a padded row"
+
+    def test_stride_permute_empty_cloud(self):
+        cloud = pc.Cloud(
+            jnp.full((256, 3), pc.PAD_VALUE), jnp.zeros(256, bool)
+        )
+        out = pc.stride_permute_downsample(cloud, 64)
+        assert int(out.count()) == 0
+        assert (np.asarray(out.xyz) == pc.PAD_VALUE).all()
+
+    def test_stride_permute_prefix_azimuth_coverage(self):
+        # scans arrive azimuth-ordered; any short PREFIX of the output must
+        # already cover the sweep (the property submap gathers rely on)
+        theta = np.linspace(-np.pi, np.pi, 8192, endpoint=False)
+        pts = np.stack(
+            [10 * np.cos(theta), 10 * np.sin(theta), np.zeros_like(theta)], -1
+        ).astype(np.float32)
+        cloud = pc.from_points(pts, 8192)
+        out = pc.stride_permute_downsample(cloud, 2048)
+        prefix = np.asarray(out.xyz)[:128]
+        ang = np.arctan2(prefix[:, 1], prefix[:, 0])
+        hist, _ = np.histogram(ang, bins=16, range=(-np.pi, np.pi))
+        assert (hist > 0).all(), f"azimuth bins uncovered: {hist}"
+
     def test_large_cloud_falls_back_to_exact(self):
         rng = np.random.RandomState(5)
         pts = rng.uniform(-30, 30, (1000, 3)).astype(np.float32)
