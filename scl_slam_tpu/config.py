@@ -83,6 +83,11 @@ class LoopConfig:
     history_fitness_score: float = 0.3
     icp_iterations: int = 30
     icp_max_corr_dist: float = 10.0
+    # early-exit tolerance on |se3.log(update)| per iteration: 1e-4 is
+    # ~0.1 mm / 0.1 mrad per step — far below fitness-gate relevance, and
+    # yaw-initialized loops typically reach it in a fraction of the
+    # icp_iterations budget (ICP stops there; saves whole NN passes)
+    icp_tol: float = 1e-4
     # source points used for ICP correspondence/alignment: the stored
     # keyframe cloud's hash-ordered layout makes a prefix slice a spatially
     # uniform subsample, so 1024 points align as well as 4096 at 4x less cost

@@ -320,6 +320,7 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
             target,
             max_iters=cfg.loop.icp_iterations,
             max_corr_dist=cfg.loop.icp_max_corr_dist,
+            tol=cfg.loop.icp_tol,
         )
         corrected = se3.compose(icp_res.pose, init_pose)
         return icp_res.fitness, corrected.R, corrected.t
