@@ -25,20 +25,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TQ = 256    # query tile
-TT = 1024   # target tile per grid step
+TT = 4096   # default target tile per grid step (see pick_target_tile)
 
 
-def _nn_kernel(q_ref, t_ref, d_ref, idx_ref):
+def pick_target_tile(nt: int) -> int | None:
+    """Largest target tile that divides ``nt``, or None if unsupported.
+
+    Bigger tiles amortize the per-grid-step reduction overhead: measured on
+    v5e at 1024x8192, TT=1024 runs ~130 us/pass while TT=4096/8192 run
+    ~31-35 us (scripts/profile_nn_tiles.py). Above 8192 the d2 tile
+    (TQ x TT f32) starts crowding VMEM.
+    """
+    for tt in (8192, 4096, 2048, 1024):
+        if nt % tt == 0:
+            return tt
+    return None
+
+
+def _nn_kernel(q_ref, t_ref, d_ref, idx_ref, *, tq: int, tt: int):
     """Grid (query_tiles, target_tiles); output blocks revisit over dim 1.
 
-    q_ref [4, TQ]; t_ref [4, TT]; d_ref [1, TQ] f32; idx_ref [1, TQ] i32.
+    q_ref [4, tq]; t_ref [4, tt]; d_ref [1, tq] f32; idx_ref [1, tq] i32.
     """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        d_ref[0, :] = jnp.full((TQ,), jnp.inf, jnp.float32)
-        idx_ref[0, :] = jnp.zeros((TQ,), jnp.int32)
+        d_ref[0, :] = jnp.full((tq,), jnp.inf, jnp.float32)
+        idx_ref[0, :] = jnp.zeros((tq,), jnp.int32)
 
     q = q_ref[:]
     t = t_ref[:]
@@ -46,14 +60,14 @@ def _nn_kernel(q_ref, t_ref, d_ref, idx_ref):
     # the MXU buys nothing and its default bf16 passes randomize argmins at
     # meter scales. (q - t)^2 per coordinate is also better-conditioned than
     # the expanded |q|^2 - 2qt + |t|^2 form.
-    d2 = jnp.zeros((TQ, TT), jnp.float32)
+    d2 = jnp.zeros((tq, tt), jnp.float32)
     for c in range(3):
-        qc = q[c].reshape(TQ, 1)
-        tc = t[c].reshape(1, TT)
+        qc = q[c].reshape(tq, 1)
+        tc = t[c].reshape(1, tt)
         diff = qc - tc
         d2 = d2 + diff * diff
     tile_best = jnp.min(d2, axis=1)
-    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * TT
+    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * tt
 
     prev_d = d_ref[0, :]
     take = tile_best < prev_d
@@ -67,12 +81,13 @@ def nearest_neighbors_pallas(
 ):
     """1-NN of each query point [Nq, 3] in target [Nt, 3].
 
-    Requires Nq % 256 == 0 and Nt % 1024 == 0 (the fixed-capacity cloud
-    convention guarantees power-of-two capacities). Returns
-    (sq_dist [Nq], index [Nq]).
+    Requires Nq % 256 == 0 and Nt divisible by a supported target tile
+    (pick_target_tile; the fixed-capacity cloud convention guarantees
+    power-of-two capacities). Returns (sq_dist [Nq], index [Nq]).
     """
     nq, nt = query.shape[0], target.shape[0]
-    assert nq % TQ == 0 and nt % TT == 0, (nq, nt)
+    tt = pick_target_tile(nt)
+    assert nq % TQ == 0 and tt is not None, (nq, nt)
     tH = jnp.concatenate(
         [target.T, jnp.zeros((1, nt), target.dtype)], axis=0
     )                                                               # [4, Nt]
@@ -81,11 +96,11 @@ def nearest_neighbors_pallas(
     )                                                               # [4, Nq]
 
     d, idx = pl.pallas_call(
-        _nn_kernel,
-        grid=(nq // TQ, nt // TT),
+        functools.partial(_nn_kernel, tq=TQ, tt=tt),
+        grid=(nq // TQ, nt // tt),
         in_specs=[
             pl.BlockSpec((4, TQ), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TQ), lambda i, j: (0, i), memory_space=pltpu.VMEM),
