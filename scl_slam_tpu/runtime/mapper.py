@@ -586,15 +586,38 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
 
     graph = jax.lax.fori_loop(0, q.i.shape[0], add_one, graph)
 
-    result = solver.solve(
-        graph,
-        state.opt_poses(),
-        gn_iters=cfg.optimizer.gn_iters,
-        cg_iters=cfg.optimizer.cg_iters,
-        damping=cfg.optimizer.damping,
-        huber_delta=cfg.optimizer.huber_delta,
-        coarse_stride=cfg.optimizer.coarse_stride,
-        coarse_levels=cfg.optimizer.coarse_levels,
+    # solve only when this drain actually added loop factors — the reference
+    # likewise optimizes on loop events (gtsamOpt runs when loops arrive,
+    # distributedMapping.h:782-901); without new loops the chained odometry
+    # estimate already satisfies every new factor and GN is a ~2 ms no-op
+    # per drain. _drain is called outside vmap, so lax.cond is a real branch.
+    added = ready if accept is None else (ready & accept)
+    n_new = jnp.sum(added)
+
+    def _solve(operands):
+        g, poses = operands
+        r = solver.solve(
+            g,
+            poses,
+            gn_iters=cfg.optimizer.gn_iters,
+            cg_iters=cfg.optimizer.cg_iters,
+            damping=cfg.optimizer.damping,
+            huber_delta=cfg.optimizer.huber_delta,
+            coarse_stride=cfg.optimizer.coarse_stride,
+            coarse_levels=cfg.optimizer.coarse_levels,
+        )
+        return r.poses.R, r.poses.t, r.chi2_history
+
+    def _skip(operands):
+        _, poses = operands
+        return (
+            poses.R,
+            poses.t,
+            jnp.zeros((cfg.optimizer.gn_iters + 1,), poses.t.dtype),
+        )
+
+    opt_R, opt_t, chi2_history = jax.lax.cond(
+        n_new > 0, _solve, _skip, (graph, state.opt_poses())
     )
     # compact deferred entries back to the queue front (stable order)
     Q = q.i.shape[0]
@@ -610,12 +633,12 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
     )
     state = state._replace(
         graph=graph,
-        opt_R=result.poses.R,
-        opt_t=result.poses.t,
+        opt_R=opt_R,
+        opt_t=opt_t,
         loop_queue=new_queue,
         loop_closed=jnp.array(False),
     )
-    return state, result.chi2_history
+    return state, chi2_history
 
 
 @functools.partial(jax.jit, static_argnames=("per",))
