@@ -60,7 +60,15 @@ def huber_weight(r_norm2: jax.Array, delta: float) -> jax.Array:
 
 
 def _linearize(g: F.FactorGraph, poses: se3.Pose, huber_delta: float):
-    """Residuals, Jacobian blocks, and IRLS x noise weights at ``poses``."""
+    """Residuals, Jacobian blocks, and IRLS x noise weights at ``poses``.
+
+    Jacobian blocks are returned TRANSPOSED, as [6, 6, E] ("structure of
+    arrays"): a TPU array tiles its two minormost dims to (8, 128), so the
+    natural [E, 6, 6] layout pads every 36-float block to 8x128 — a 28x
+    memory tax that put a 131k-pose solve at 29 GB HBM (each Jacobian array
+    1 GB instead of 36 MB, and their remat copies dominated the CG loop).
+    With E minormost the pad is only 6->8 on one middle dim (1.33x).
+    """
     E = g.edge_capacity
     zeros6 = jnp.zeros((E, 6), poses.t.dtype)
     Ti = se3.take(poses, g.i)
@@ -69,12 +77,16 @@ def _linearize(g: F.FactorGraph, poses: se3.Pose, huber_delta: float):
         zeros6, zeros6, Ti.R, Ti.t, Tj.R, Tj.t, g.z.R, g.z.t
     )
     Ji, Jj = _edge_jac(zeros6, zeros6, Ti.R, Ti.t, Tj.R, Tj.t, g.z.R, g.z.t)
+    JiT = jnp.transpose(Ji, (1, 2, 0))            # [6, 6, E]
+    JjT = jnp.transpose(Jj, (1, 2, 0))
 
     P = g.prior_capacity
     zerosP = jnp.zeros((P, 6), poses.t.dtype)
     Tp = se3.take(poses, g.prior_idx)
     r_p = jax.vmap(_prior_residual)(zerosP, Tp.R, Tp.t, g.prior_z.R, g.prior_z.t)
-    Jp = _prior_jac(zerosP, Tp.R, Tp.t, g.prior_z.R, g.prior_z.t)
+    JpT = jnp.transpose(
+        _prior_jac(zerosP, Tp.R, Tp.t, g.prior_z.R, g.prior_z.t), (1, 2, 0)
+    )
 
     # weights: diagonal information * robust kernel * validity mask
     info_e = g.sqrt_info ** 2                     # [E, 6]
@@ -84,21 +96,27 @@ def _linearize(g: F.FactorGraph, poses: se3.Pose, huber_delta: float):
 
     info_p = g.prior_sqrt_info ** 2
     w_p = info_p * g.prior_mask()[:, None]
-    return r_e, Ji, Jj, w_e, r_p, Jp, w_p
+    return r_e, JiT, JjT, w_e, r_p, JpT, w_p
 
 
-def _apply_H(x, g, Ji, Jj, w_e, Jp, w_p, D_damp_only):
-    """y = (J^T W J + damping) x, matrix-free. x, y: [N, 6]."""
+def _apply_H(x, g, JiT, JjT, w_e, JpT, w_p, D_damp_only):
+    """y = (J^T W J + damping) x, matrix-free. x, y: [N, 6].
+
+    JiT/JjT/JpT are [6, 6, E] transposed blocks (see _linearize): the
+    per-edge 6x6 matvecs become lane-vectorized contractions over the long
+    E axis instead of batched tiny matmuls over pathologically-padded
+    [E, 6, 6] arrays.
+    """
     xi = x[g.i]
     xj = x[g.j]
     u = (
-        jnp.einsum("eab,eb->ea", Ji, xi) + jnp.einsum("eab,eb->ea", Jj, xj)
+        jnp.einsum("abe,eb->ea", JiT, xi) + jnp.einsum("abe,eb->ea", JjT, xj)
     ) * w_e
     y = jnp.zeros_like(x)
-    y = y.at[g.i].add(jnp.einsum("eab,ea->eb", Ji, u))
-    y = y.at[g.j].add(jnp.einsum("eab,ea->eb", Jj, u))
-    up = jnp.einsum("pab,pb->pa", Jp, x[g.prior_idx]) * w_p
-    y = y.at[g.prior_idx].add(jnp.einsum("pab,pa->pb", Jp, up))
+    y = y.at[g.i].add(jnp.einsum("abe,ea->eb", JiT, u))
+    y = y.at[g.j].add(jnp.einsum("abe,ea->eb", JjT, u))
+    up = jnp.einsum("abp,pb->pa", JpT, x[g.prior_idx]) * w_p
+    y = y.at[g.prior_idx].add(jnp.einsum("abp,pa->pb", JpT, up))
     # damping term (D_damp_only holds just the added diagonal part)
     y = y + jnp.einsum("nab,nb->na", D_damp_only, x)
     return y
@@ -148,14 +166,14 @@ def solve(
     def gn_step(carry, _):
         cur_poses = carry
 
-        r_e, Ji, Jj, w_e, r_p, Jp, w_p = _linearize(g, cur_poses, huber_delta)
+        r_e, JiT, JjT, w_e, r_p, JpT, w_p = _linearize(g, cur_poses, huber_delta)
 
         # block diagonal of J^T W J, and the damping blocks that keep
         # factor-less pose slots invertible and condition the solve
-        Hi = jnp.einsum("eab,ea,eac->ebc", Ji, w_e, Ji)
-        Hj = jnp.einsum("eab,ea,eac->ebc", Jj, w_e, Jj)
-        Hp = jnp.einsum("pab,pa,pac->pbc", Jp, w_p, Jp)
-        H_diag = jnp.zeros((n_poses, 6, 6), Ji.dtype)
+        Hi = jnp.einsum("abe,ea,ace->ebc", JiT, w_e, JiT)
+        Hj = jnp.einsum("abe,ea,ace->ebc", JjT, w_e, JjT)
+        Hp = jnp.einsum("abp,pa,acp->pbc", JpT, w_p, JpT)
+        H_diag = jnp.zeros((n_poses, 6, 6), JiT.dtype)
         H_diag = H_diag.at[g.i].add(Hi).at[g.j].add(Hj).at[g.prior_idx].add(Hp)
         mag = jnp.maximum(jax.vmap(jnp.diag)(H_diag).max(-1), 1.0)
         damp_blocks = (damping * mag + 1e-6)[:, None, None] * eye6
@@ -163,15 +181,15 @@ def solve(
 
         # rhs b = -J^T W r
         b = jnp.zeros((n_poses, 6), poses.t.dtype)
-        b = b.at[g.i].add(-jnp.einsum("eab,ea->eb", Ji, w_e * r_e))
-        b = b.at[g.j].add(-jnp.einsum("eab,ea->eb", Jj, w_e * r_e))
-        b = b.at[g.prior_idx].add(-jnp.einsum("pab,pa->pb", Jp, w_p * r_p))
+        b = b.at[g.i].add(-jnp.einsum("abe,ea->eb", JiT, w_e * r_e))
+        b = b.at[g.j].add(-jnp.einsum("abe,ea->eb", JjT, w_e * r_e))
+        b = b.at[g.prior_idx].add(-jnp.einsum("abp,pa->pb", JpT, w_p * r_p))
 
         # block-Jacobi preconditioner: exact 6x6 Cholesky solves
         L = jnp.linalg.cholesky(D)
 
         if coarse_stride > 0:
-            Hij = jnp.einsum("eab,ea,eac->ebc", Ji, w_e, Jj)
+            Hij = jnp.einsum("abe,ea,ace->ebc", JiT, w_e, JjT)
             jacobi_levels = []  # (cidx [N], Ll [C,6,6] cholesky) per mid level
             for lvl in range(1, coarse_levels + 1):
                 stride_l = coarse_stride ** lvl
@@ -185,40 +203,116 @@ def solve(
                     # odometry edges — the vast majority at small strides).
                     # Row C is the dump slot for inter-supernode edges.
                     same = ci == cj
-                    Dl = jnp.zeros((C + 1, 6, 6), Ji.dtype)
+                    Dl = jnp.zeros((C + 1, 6, 6), JiT.dtype)
                     Dl = Dl.at[ci].add(Hi).at[cj].add(Hj).at[cp].add(Hp)
                     dump = jnp.where(same, ci, C)
                     sym = Hij + jnp.swapaxes(Hij, 1, 2)
                     Dl = Dl.at[dump].add(sym)
                     Dl = Dl[:C].at[cidx].add(damp_blocks)
-                    jacobi_levels.append((cidx, jnp.linalg.cholesky(Dl)))
-                else:
-                    # coarsest: dense Galerkin PᵀHP, one MXU Cholesky
-                    Hc = jnp.zeros((C, 6, C, 6), Ji.dtype)
-                    Hc = Hc.at[ci, :, ci, :].add(Hi)
-                    Hc = Hc.at[cj, :, cj, :].add(Hj)
-                    Hc = Hc.at[ci, :, cj, :].add(Hij)
-                    Hc = Hc.at[cj, :, ci, :].add(jnp.swapaxes(Hij, 1, 2))
-                    Hc = Hc.at[cp, :, cp, :].add(Hp)
-                    # aggregated damping keeps empty supernodes invertible
-                    Hc = Hc.at[cidx, :, cidx, :].add(damp_blocks)
-                    Lc = jnp.linalg.cholesky(
-                        Hc.reshape(C * 6, C * 6)
-                        + 1e-6 * jnp.eye(C * 6, dtype=Ji.dtype)
+                    # symmetric Jacobi equilibration before the f32 Cholesky:
+                    # supernode blocks aggregate stride_l edges of weight up
+                    # to 1/sigma^2 * lever^2 — raw pivots overflow f32's
+                    # ~1e7 usable condition range at large strides (observed
+                    # NaN at stride 4096 on a 2 km loop). Unit-diagonal form
+                    # keeps the factorization in range; the solve un-scales.
+                    sl = jax.lax.rsqrt(
+                        jnp.maximum(
+                            jnp.diagonal(Dl, axis1=1, axis2=2), 1e-20
+                        )
+                    )                                            # [C, 6]
+                    Dl_eq = Dl * sl[:, :, None] * sl[:, None, :] + 1e-5 * eye6
+                    jacobi_levels.append(
+                        (cidx, sl, jnp.linalg.cholesky(Dl_eq))
                     )
+                else:
+                    # Coarsest: dense Galerkin PᵀHP, one MXU Cholesky. The
+                    # matrix is assembled FLAT by index arithmetic: a scatter
+                    # into [C,6,C,6] would tile-pad the minormost (C, 6) dims
+                    # 6->128 (12.9 GB at C=2048, the round-1 OOM); the flat
+                    # [C*6*C*6] target plus [*,36] block updates stays at the
+                    # unpadded 604 MB. C*6 must keep (C*6)^2 < 2^31 for the
+                    # int32 flat index — C <= 7723, i.e. use more levels
+                    # rather than a bigger dense coarse grid.
+                    n6 = C * 6
+                    assert n6 * n6 < 2**31, (
+                        "dense coarse level too big; raise coarse_stride or "
+                        "coarse_levels"
+                    )
+                    a6 = jnp.arange(6, dtype=jnp.int32)
+                    ri = ci[:, None] * 6 + a6                    # [E, 6]
+                    rj = cj[:, None] * 6 + a6
+                    rp = cp[:, None] * 6 + a6
+                    rn = cidx[:, None] * 6 + a6                  # [N, 6]
+
+                    def flat_blk(r, c):
+                        return (r[:, :, None] * n6 + c[:, None, :]).reshape(
+                            -1, 36
+                        )
+
+                    # Chunked accumulation: with stride_l poses per supernode
+                    # a single flat scatter adds up to ~stride_l edge blocks
+                    # SERIALLY into each target — f32 error ~dups*eps wiped
+                    # out the small (long-range) eigenvalues at stride 4096
+                    # (observed: asym 4e1, min eig -2e-2 after equilibration
+                    # => Cholesky NaN). Spreading edges over K chunk copies
+                    # and tree-summing cuts the serial depth to ~stride_l/K.
+                    K = 1
+                    while (
+                        K < 256
+                        and stride_l // K > 64
+                        and 2 * K * n6 * n6 * 4 <= (1 << 30)
+                    ):
+                        K *= 2
+                    chunk = (
+                        jnp.arange(g.edge_capacity, dtype=jnp.int32) % K
+                    ) * (n6 * n6)
+                    as36 = lambda B: B.reshape(B.shape[0], 36)
+                    Hc = jnp.zeros((K * n6 * n6,), JiT.dtype)
+                    ch = chunk[:, None]
+                    Hc = Hc.at[flat_blk(ri, ri) + ch].add(as36(Hi))
+                    Hc = Hc.at[flat_blk(rj, rj) + ch].add(as36(Hj))
+                    Hc = Hc.at[flat_blk(ri, rj) + ch].add(as36(Hij))
+                    Hc = Hc.at[flat_blk(rj, ri) + ch].add(
+                        as36(jnp.swapaxes(Hij, 1, 2))
+                    )
+                    Hc = Hc.reshape(K, n6 * n6).sum(0)
+                    Hc = Hc.at[flat_blk(rp, rp).reshape(-1)].add(
+                        as36(Hp).reshape(-1)
+                    )
+                    # aggregated damping keeps empty supernodes invertible
+                    Hc = Hc.at[flat_blk(rn, rn).reshape(-1)].add(
+                        as36(damp_blocks).reshape(-1)
+                    )
+                    Hc = Hc.reshape(n6, n6)
+                    Hc = 0.5 * (Hc + Hc.T)
+                    # same equilibration story as the mid levels, worse: the
+                    # dense coarsest aggregates stride^levels poses per
+                    # supernode (pivots ~1e13 at stride 4096 vs the 1e4
+                    # gauge prior), far beyond f32 Cholesky's range.
+                    sc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hc), 1e-20))
+                    Hc_eq = Hc * sc[:, None] * sc[None, :] + 1e-5 * jnp.eye(
+                        n6, dtype=JiT.dtype
+                    )
+                    Lc = jnp.linalg.cholesky(Hc_eq)
                     top_cidx, top_C = cidx, C
 
             def precond(v):
                 z = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
-                for cidx_l, Ll in jacobi_levels:
+                for cidx_l, sl, Ll in jacobi_levels:
                     vc = jnp.zeros((Ll.shape[0], 6), v.dtype).at[cidx_l].add(v)
-                    zc = jax.scipy.linalg.cho_solve((Ll, True), vc[..., None])[
-                        ..., 0
-                    ]
+                    zc = (
+                        jax.scipy.linalg.cho_solve(
+                            (Ll, True), (sl * vc)[..., None]
+                        )[..., 0]
+                        * sl
+                    )
                     z = z + zc[cidx_l]
                 vc = jnp.zeros((top_C, 6), v.dtype).at[top_cidx].add(v)
-                yc = jax.scipy.linalg.cho_solve(
-                    (Lc, True), vc.reshape(-1)
+                yc = (
+                    jax.scipy.linalg.cho_solve(
+                        (Lc, True), sc * vc.reshape(-1)
+                    )
+                    * sc
                 ).reshape(top_C, 6)
                 return z + yc[top_cidx]
         else:
@@ -227,7 +321,7 @@ def solve(
                 return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
 
         def Hx(v):
-            return _apply_H(v, g, Ji, Jj, w_e, Jp, w_p, damp_blocks)
+            return _apply_H(v, g, JiT, JjT, w_e, JpT, w_p, damp_blocks)
 
         # PCG (fixed iterations, masked convergence)
         x0 = jnp.zeros_like(b)
