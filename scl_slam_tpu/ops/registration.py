@@ -109,6 +109,35 @@ def nearest_neighbors(
     return d2.reshape(nq), idx.reshape(nq)
 
 
+def nearest_select(
+    query: jax.Array, payload: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """1-NN with fused per-match payload selection.
+
+    payload [P, Nt]: rows 0-2 are the target cloud (invalid points already
+    at PAD_VALUE), rows 3.. arbitrary per-point extras (validity mask,
+    normals, ...). Returns (sq_dist [Nq], selected payload [P, Nq]).
+
+    On TPU this runs as one Pallas pass that keeps the running best match's
+    payload in VMEM (ops/pallas_kernels.py::nn_select_pallas) — the
+    ``target[idx]`` / ``mask[idx]`` HBM row gathers it replaces cost ~17 us
+    per ICP iteration at 1024x8192 (rows of a [Nt, 3] array are 3->128
+    lane-padded). Other backends/shapes fall back to argmin + gather.
+    """
+    from . import pallas_kernels as pk
+
+    nq, nt = query.shape[0], payload.shape[1]
+    if (
+        jax.default_backend() != "cpu"
+        and nq % pk.TQ == 0
+        and pk.pick_target_tile(nt) is not None
+        and payload.shape[0] % 4 == 0
+    ):
+        return pk.nn_select_pallas(query, payload)
+    d2, idx = nearest_neighbors(query, payload[:3].T)
+    return d2, payload[:, idx]
+
+
 def icp(
     source: Cloud,
     target: Cloud,
@@ -130,6 +159,10 @@ def icp(
     tgt = jnp.where(target.mask[:, None], target.xyz, PAD_VALUE)
     src = source.xyz
     smask = source.mask
+    # target payload for the fused NN+select pass: xyz rows + validity row
+    payload = jnp.concatenate(
+        [tgt.T, target.mask[None].astype(src.dtype)], axis=0
+    )                                                               # [4, Nt]
 
     # lax.while_loop, not scan: callers run ICP sequentially (one verify per
     # frame under the batch scan / fleet scan), so stopping at convergence
@@ -143,9 +176,9 @@ def icp(
     def body(carry):
         i, pose, _prev_delta, _ = carry
         moved = se3.transform_points(pose, src)
-        d2, idx = nearest_neighbors(moved, tgt)
-        matched = tgt[idx]
-        good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+        d2, sel = nearest_select(moved, payload)
+        matched = sel[:3].T
+        good = smask & (sel[3] > 0.5) & (d2 < max_corr_dist * max_corr_dist)
         w = good.astype(src.dtype)
         update = kabsch(moved, matched, w)
         new_pose = se3.compose(update, pose)
@@ -171,8 +204,8 @@ def icp(
 
     # final fitness with converged pose
     moved = se3.transform_points(pose, src)
-    d2, idx = nearest_neighbors(moved, tgt)
-    good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+    d2, sel = nearest_select(moved, payload)
+    good = smask & (sel[3] > 0.5) & (d2 < max_corr_dist * max_corr_dist)
     n_good = jnp.sum(good)
     fitness = jnp.where(
         n_good > 0,
@@ -208,6 +241,16 @@ def icp_point_to_plane(
     tgt = jnp.where(target.mask[:, None], target.xyz, PAD_VALUE)
     src = source.xyz
     smask = source.mask
+    # fused NN+select payload: xyz, validity, normals, zero pad -> P=8
+    payload = jnp.concatenate(
+        [
+            tgt.T,
+            target.mask[None].astype(src.dtype),
+            target_normals.T,
+            jnp.zeros((1, tgt.shape[0]), src.dtype),
+        ],
+        axis=0,
+    )                                                               # [8, Nt]
 
     # while_loop early exit (same rationale as icp: odometry runs one
     # scan-to-map alignment per frame, sequentially)
@@ -218,10 +261,10 @@ def icp_point_to_plane(
     def body(carry):
         i, pose, _ = carry
         moved = se3.transform_points(pose, src)          # [N, 3]
-        d2, idx = nearest_neighbors(moved, tgt)
-        n = target_normals[idx]                          # [N, 3]
-        p_t = tgt[idx]
-        good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+        d2, sel = nearest_select(moved, payload)
+        n = sel[4:7].T                                   # [N, 3]
+        p_t = sel[:3].T
+        good = smask & (sel[3] > 0.5) & (d2 < max_corr_dist * max_corr_dist)
         w = good.astype(src.dtype)
         r = jnp.sum(n * (moved - p_t), axis=-1)          # [N] signed residual
         # jacobian of r wrt left-multiplied twist [omega, v]:
@@ -239,10 +282,10 @@ def icp_point_to_plane(
         cond, body, (jnp.array(0), init, jnp.array(jnp.inf, src.dtype))
     )
     moved = se3.transform_points(pose, src)
-    d2, idx = nearest_neighbors(moved, tgt)
-    good = smask & target.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+    d2, sel = nearest_select(moved, payload)
+    good = smask & (sel[3] > 0.5) & (d2 < max_corr_dist * max_corr_dist)
     n_good = jnp.sum(good)
-    r = jnp.sum(target_normals[idx] * (moved - tgt[idx]), axis=-1)
+    r = jnp.sum(sel[4:7].T * (moved - sel[:3].T), axis=-1)
     fitness = jnp.where(
         n_good > 0,
         jnp.sum(jnp.where(good, r * r, 0.0)) / jnp.maximum(n_good, 1),

@@ -48,3 +48,85 @@ class TestNNPallas:
         d_p, i_p = nearest_neighbors_pallas(q, t, interpret=True)
         np.testing.assert_array_equal(np.asarray(i_p), np.arange(256))
         assert float(jnp.max(d_p)) == 0.0
+
+
+class TestNNSelectPallas:
+    """Fused NN + payload selection (nn_select_pallas)."""
+
+    @staticmethod
+    def _payload(t, mask, normals=None):
+        rows = [
+            jnp.where(mask[:, None], t, 1e6).T,
+            mask[None].astype(jnp.float32),
+        ]
+        if normals is not None:
+            rows += [normals.T, jnp.zeros((1, t.shape[0]), jnp.float32)]
+        return jnp.concatenate(rows, axis=0)
+
+    def test_selects_argmin_payload(self):
+        from scl_slam_tpu.ops.pallas_kernels import nn_select_pallas
+
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.uniform(-50, 50, (256, 3)), jnp.float32)
+        t = jnp.asarray(rng.uniform(-50, 50, (2048, 3)), jnp.float32)
+        mask = jnp.ones(2048, bool)
+        d_s, sel = nn_select_pallas(q, self._payload(t, mask), interpret=True)
+        d_r, i_r = nearest_neighbors(q, t)
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r), atol=1e-3)
+        # selected coordinates must be EXACTLY a target point (one-hot
+        # contraction is exact), and as near as the baseline's match
+        sel_xyz = np.asarray(sel[:3].T)
+        d_true = np.sum((np.asarray(q) - sel_xyz) ** 2, axis=1)
+        np.testing.assert_allclose(d_true, np.asarray(d_r), atol=1e-3)
+        match = np.abs(
+            sel_xyz[:, None, :] - np.asarray(t)[None, :, :]
+        ).sum(-1).min(1)
+        np.testing.assert_array_equal(match, 0.0)
+        np.testing.assert_array_equal(np.asarray(sel[3]), 1.0)
+
+    def test_mask_and_normals_rows(self):
+        from scl_slam_tpu.ops.pallas_kernels import nn_select_pallas
+
+        rng = np.random.RandomState(4)
+        q = jnp.asarray(rng.uniform(-10, 10, (256, 3)), jnp.float32)
+        t = jnp.asarray(rng.uniform(-10, 10, (1024, 3)), jnp.float32)
+        mask = jnp.asarray(rng.rand(1024) > 0.3)
+        normals = jnp.asarray(rng.normal(size=(1024, 3)), jnp.float32)
+        d_s, sel = nn_select_pallas(
+            q, self._payload(t, mask, normals), interpret=True
+        )
+        # valid matches carry their own normal row, exactly
+        tgt = np.where(np.asarray(mask)[:, None], np.asarray(t), 1e6)
+        d2 = ((np.asarray(q)[:, None] - tgt[None]) ** 2).sum(-1)
+        idx = d2.argmin(1)
+        got_mask = np.asarray(sel[3]) > 0.5
+        np.testing.assert_array_equal(got_mask, np.asarray(mask)[idx])
+        np.testing.assert_allclose(
+            np.asarray(sel[4:7].T)[got_mask],
+            np.asarray(normals)[idx][got_mask],
+            rtol=0,
+            atol=0,
+        )
+
+    def test_icp_uses_select_and_converges(self):
+        from scl_slam_tpu.ops import pointcloud as pc
+        from scl_slam_tpu.ops import registration as reg
+        from scl_slam_tpu.geometry import se3
+
+        rng = np.random.RandomState(5)
+        pts = rng.uniform(-20, 20, (1024, 3)).astype(np.float32)
+        tgt = pc.Cloud(jnp.asarray(pts), jnp.ones(1024, bool))
+        ang = 0.1
+        R = np.array(
+            [
+                [np.cos(ang), -np.sin(ang), 0],
+                [np.sin(ang), np.cos(ang), 0],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        src_pts = (pts - np.array([0.5, -0.3, 0.2], np.float32)) @ R
+        src = pc.Cloud(jnp.asarray(src_pts), jnp.ones(1024, bool))
+        res = reg.icp(src, tgt, max_iters=30, max_corr_dist=5.0)
+        assert float(res.fitness) < 1e-3
+        assert bool(res.converged)
