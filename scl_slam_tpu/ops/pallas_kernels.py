@@ -171,6 +171,105 @@ def nn_select_pallas(
     return d[0], sel
 
 
+def _nn_select_batched_kernel(
+    active_ref, q_ref, t_ref, d_ref, sel_ref, *, tq: int, tt: int
+):
+    """Batched fused NN+select with per-lane predication.
+
+    Grid (B, query_tiles, target_tiles). ``active_ref`` (SMEM, scalar
+    prefetch) holds one int32 per lane; lanes with 0 skip the tile body
+    entirely (outputs stay at their init), which is what makes a batched
+    ICP with per-lane early exit cost ~only the still-running lanes —
+    a plain vmap of the solo kernel pays full compute for frozen lanes.
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        d_ref[0, 0, :] = jnp.full((tq,), jnp.inf, jnp.float32)
+        sel_ref[0] = jnp.zeros_like(sel_ref[0])
+
+    @pl.when(active_ref[b] != 0)
+    def _():
+        q = q_ref[0]
+        t = t_ref[0]
+        d2 = jnp.zeros((tq, tt), jnp.float32)
+        for c in range(3):
+            qc = q[c].reshape(tq, 1)
+            tc = t[c].reshape(1, tt)
+            diff = qc - tc
+            d2 = d2 + diff * diff
+        tile_best = jnp.min(d2, axis=1)
+        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        one_hot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tq, tt), 1)
+            == tile_arg[:, None]
+        ).astype(jnp.float32)
+        sel_tile = jax.lax.dot_general(
+            t,
+            one_hot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                               # [P, tq]
+        prev_d = d_ref[0, 0, :]
+        take = tile_best < prev_d
+        d_ref[0, 0, :] = jnp.where(take, jnp.maximum(tile_best, 0.0), prev_d)
+        sel_ref[0] = jnp.where(take[None, :], sel_tile, sel_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_select_batched_pallas(
+    query: jax.Array,
+    payload: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+):
+    """Per-lane-predicated batched 1-NN + payload selection.
+
+    query [B, Nq, 3]; payload [B, P, Nt] (rows 0-2 per lane = target xyz);
+    active [B] (int32/bool) — inactive lanes skip all compute and return
+    (inf distances, zero payload). Returns (sq_dist [B, Nq], sel [B, P, Nq]).
+    """
+    Bn, nq = query.shape[0], query.shape[1]
+    P, nt = payload.shape[1], payload.shape[2]
+    tt = pick_target_tile(nt)
+    assert nq % TQ == 0 and tt is not None and P % 4 == 0, (nq, nt, P)
+    qH = jnp.concatenate(
+        [
+            jnp.swapaxes(query, -1, -2),
+            jnp.zeros((Bn, 1, nq), query.dtype),
+        ],
+        axis=1,
+    )                                                           # [B, 4, Nq]
+
+    d, sel = pl.pallas_call(
+        functools.partial(_nn_select_batched_kernel, tq=TQ, tt=tt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bn, nq // TQ, nt // tt),
+            in_specs=[
+                pl.BlockSpec((1, 4, TQ), lambda b, i, j, a: (b, 0, i)),
+                pl.BlockSpec((1, P, tt), lambda b, i, j, a: (b, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, TQ), lambda b, i, j, a: (b, 0, i)),
+                pl.BlockSpec((1, P, TQ), lambda b, i, j, a: (b, 0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Bn, 1, nq), jnp.float32),
+            jax.ShapeDtypeStruct((Bn, P, nq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(active.astype(jnp.int32), qH, payload)
+    return d[:, 0], sel
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbors_pallas(
     query: jax.Array, target: jax.Array, interpret: bool = False

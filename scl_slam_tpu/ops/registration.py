@@ -216,6 +216,114 @@ def icp(
     return ICPResult(pose, fitness, inlier_frac, converged)
 
 
+def icp_batched(
+    source: Cloud,
+    target: Cloud,
+    init: se3.Pose,
+    active: jax.Array,
+    max_iters: int = 30,
+    max_corr_dist: float = 10.0,
+    tol: float = 1e-6,
+) -> ICPResult:
+    """B independent point-to-point ICPs in one device program.
+
+    Lane semantics are EXACTLY those of B solo :func:`icp` runs with early
+    exit: each lane freezes once its own update norm drops below ``tol``
+    (frozen lanes' NN passes are wasted VPU lanes, not semantic drift), and
+    the loop ends when every active lane is done. This is the macro-batch
+    verification path — B solo ICPs cost B x ~90 us per iteration in serial
+    dispatch-bound tiny ops; batched lanes share each iteration's kernels.
+
+    source/target: Clouds with leading batch dim ([B, N, 3] / [B, N]).
+    init: batched Pose. active [B] bool: lanes to run (inactive lanes
+    return fitness=inf, identity-ish results; callers gate on ``active``).
+    """
+    B = source.xyz.shape[0]
+    dtype = source.xyz.dtype
+    tgt = jnp.where(target.mask[..., None], target.xyz, PAD_VALUE)
+    payload = jnp.concatenate(
+        [
+            jnp.swapaxes(tgt, -1, -2),
+            target.mask[:, None, :].astype(dtype),
+        ],
+        axis=1,
+    )                                                           # [B, 4, M]
+    src = source.xyz
+    smask = source.mask
+    eye = jnp.eye(3, dtype=dtype)
+
+    from . import pallas_kernels as pk
+
+    nq, nt = src.shape[1], payload.shape[2]
+    predicated = (
+        jax.default_backend() != "cpu"
+        and nq % pk.TQ == 0
+        and pk.pick_target_tile(nt) is not None
+    )
+
+    def matches(pose, lanes):
+        """NN pass for the given active-lane mask; frozen lanes skip all
+        tile compute in the predicated kernel (d2=inf, sel=0 for them)."""
+        moved = se3.transform_points(pose, src)                 # [B, N, 3]
+        if predicated:
+            d2, sel = pk.nn_select_batched_pallas(moved, payload, lanes)
+        else:
+            d2, sel = jax.vmap(nearest_select)(moved, payload)
+        matched = jnp.swapaxes(sel[:, :3], -1, -2)              # [B, N, 3]
+        good = (
+            smask
+            & (sel[:, 3] > 0.5)
+            & (d2 < max_corr_dist * max_corr_dist)
+        )
+        return moved, d2, matched, good
+
+    def cond(carry):
+        i, _R, _t, _delta, done = carry
+        return (i < max_iters) & jnp.any(~done)
+
+    def body(carry):
+        i, R, t, delta, done = carry
+        pose = se3.Pose(R, t)
+        moved, _d2, matched, good = matches(pose, ~done)
+        w = good.astype(dtype)
+        update = kabsch(moved, matched, w)
+        new_pose = se3.compose(update, pose)
+        ndelta = jnp.linalg.norm(update.t, axis=-1) + jnp.linalg.norm(
+            update.R - eye, axis=(-2, -1)
+        )
+        keep = done[:, None, None]
+        R = jnp.where(keep, R, new_pose.R)
+        t = jnp.where(done[:, None], t, new_pose.t)
+        delta = jnp.where(done, delta, ndelta)
+        done = done | (delta < tol)
+        return (i + 1, R, t, delta, done)
+
+    done0 = ~active
+    _, R, t, delta, done = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.array(0),
+            init.R,
+            init.t,
+            jnp.full((B,), jnp.inf, dtype),
+            done0,
+        ),
+    )
+    pose = se3.Pose(R, t)
+
+    _moved, d2, _matched, good = matches(pose, active)
+    n_good = jnp.sum(good, axis=-1)
+    fitness = jnp.where(
+        (n_good > 0) & active,
+        jnp.sum(jnp.where(good, d2, 0.0), axis=-1)
+        / jnp.maximum(n_good, 1),
+        jnp.inf,
+    )
+    inlier_frac = n_good / jnp.maximum(jnp.sum(smask, axis=-1), 1)
+    return ICPResult(pose, fitness, inlier_frac, done & active)
+
+
 def icp_point_to_plane(
     source: Cloud,
     target: Cloud,

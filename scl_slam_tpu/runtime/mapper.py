@@ -228,7 +228,9 @@ def _ingest_peer(
     )
 
 
-def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
+def _gather_submap(
+    state: MapperState, center_slot, robot, cfg: SlamConfig, count=None
+):
     """±near_keyframes submap around a slot, in map frame, downsampled.
 
     Reference ``loopFindNearKeyframes`` (``distributedMapping.h:1163-1186``).
@@ -238,10 +240,14 @@ def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
     hash-ordered (voxel modes; see ops.pointcloud), so a prefix is already
     a uniform spatial subsample and no global re-voxelization (an expensive
     TPU sort) is needed.
+
+    ``count`` overrides the robot's live keyframe count for the chain-end
+    clip — the macro-batch path passes each frame's historical count so a
+    batch-deferred gather sees exactly the submap the sequential path saw.
     """
     K = cfg.keyframe.max_keyframes
     near = cfg.loop.near_keyframes
-    count = state.counts[robot]
+    count = state.counts[robot] if count is None else count
     lo = robot * K
     offs = jnp.arange(-near, near + 1)
     slots = jnp.clip(center_slot + offs, lo, lo + jnp.maximum(count - 1, 0))
@@ -253,6 +259,16 @@ def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
     world = se3.transform_points(poses, xyz)  # [W, per, 3]
     flat = world.reshape(-1, 3)
     flat_mask = mask.reshape(-1)
+    # Pad to the full submap_capacity: W rarely divides it, and a
+    # W*per-point cloud (e.g. 51*160 = 8160) misses the power-of-two tile
+    # check in ops.pallas_kernels.pick_target_tile, silently dropping every
+    # verification ICP onto the jnp fallback NN.
+    pad = cfg.loop.submap_capacity - flat.shape[0]
+    if pad > 0:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad, 3), pc.PAD_VALUE, flat.dtype)]
+        )
+        flat_mask = jnp.concatenate([flat_mask, jnp.zeros(pad, bool)])
     # duplicate slots from the clip at trajectory edges are harmless for
     # ICP targets (identical points don't bias nearest-neighbor matches)
     return pc.Cloud(
@@ -260,14 +276,12 @@ def _gather_submap(state: MapperState, center_slot, robot, cfg: SlamConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
-    """One intra-robot loop-closure attempt for the latest keyframe.
+def _retrieve_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
+    """Descriptor retrieval + attempt decision for the latest keyframe.
 
-    Reference ``performIntraLoopClosure`` (``distributedMapping.h:1070-1160``):
-    descriptor query -> (here: yaw-initialized) submap ICP -> fitness gate ->
-    loop factor queued. Runs fully on device; returns the updated state and a
-    found flag.
+    First stage of ``performIntraLoopClosure`` (reference
+    ``distributedMapping.h:1070-1093``): query + dedup gate. Returns
+    (slot, q_idx, match, attempt, match_slot).
     """
     K = cfg.keyframe.max_keyframes
     fam = registry.get_family(cfg)
@@ -279,41 +293,112 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     match = fam.query(state.desc_db, descriptor, robot, q_idx, mode="intra")
     already = state.loop_target[slot] >= 0
     attempt = match.found & ~already & (pos >= 0)
+    match_slot = jnp.where(attempt, match.db_pos, slot)
+    return slot, q_idx, match, attempt, match_slot
+
+
+def _intra_verify_inputs(
+    state: MapperState, slot, match_slot, yaw, robot, cfg: SlamConfig,
+    count=None,
+):
+    """Gather the ICP inputs for one intra-loop verification.
+
+    (current keyframe cloud, ±near submap target, yaw-initialized start
+    pose). ``count`` as in :func:`_gather_submap`. hash-ordered storage ->
+    a prefix slice is a uniform spatial subsample.
+    """
+    n_src = min(cfg.loop.icp_source_points, cfg.keyframe.points_per_keyframe)
+    cur_cloud = pc.Cloud(
+        state.kf_xyz[slot, : n_src * 3].reshape(n_src, 3),
+        state.kf_mask[slot, :n_src],
+    )
+    target = _gather_submap(state, match_slot, robot, cfg, count=count)
+    cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
+    # yaw-initialized start: rotate current cloud by the SC shift
+    # estimate (helps ICP converge on reverse loops)
+    zero = jnp.zeros_like(yaw)
+    Ryaw = jnp.stack(
+        [
+            jnp.stack([jnp.cos(yaw), -jnp.sin(yaw), zero], -1),
+            jnp.stack([jnp.sin(yaw), jnp.cos(yaw), zero], -1),
+            jnp.stack([zero, zero, jnp.ones_like(yaw)], -1),
+        ],
+        -2,
+    )
+    init_pose = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
+    return cur_cloud, target, init_pose
+
+
+def _enqueue_intra(
+    state: MapperState, robot, slot, match_slot, q_idx, match_index,
+    fitness, attempt, corr_R, corr_t, cfg: SlamConfig,
+):
+    """Fitness gate + loop-factor enqueue + dedup bookkeeping.
+
+    Final stage of ``performIntraLoopClosure`` (reference
+    ``distributedMapping.h:1121-1159``). Returns (state, ok).
+    """
+    ok = attempt & (fitness < cfg.loop.history_fitness_score)
+
+    # corrected current pose and loop factor z = T_pre^-1 ∘ T_cur_corrected
+    # (reference computes (tfICP·tfWrong)^-1·posePre, :1129-1143 — same pose)
+    corrected = se3.Pose(corr_R, corr_t)
+    pre_pose = se3.Pose(state.opt_R[match_slot], state.opt_t[match_slot])
+    z = se3.between(pre_pose, corrected)
+
+    q = state.loop_queue
+    qpos = jnp.minimum(q.count, q.i.shape[0] - 1)
+    qok = ok & (q.count < q.i.shape[0])
+    noise = jnp.maximum(fitness, 1e-3)
+    enc_i = encode_kf(robot, match_index)
+    enc_j = encode_kf(robot, q_idx)
+    new_q = LoopQueue(
+        i=q.i.at[qpos].set(jnp.where(qok, enc_i, q.i[qpos])),
+        j=q.j.at[qpos].set(jnp.where(qok, enc_j, q.j[qpos])),
+        z_R=q.z_R.at[qpos].set(jnp.where(qok, z.R, q.z_R[qpos])),
+        z_t=q.z_t.at[qpos].set(jnp.where(qok, z.t, q.z_t[qpos])),
+        noise=q.noise.at[qpos].set(jnp.where(qok, noise, q.noise[qpos])),
+        count=q.count + qok.astype(jnp.int32),
+    )
+    state = state._replace(
+        loop_queue=new_q,
+        loop_target=state.loop_target.at[slot].set(
+            jnp.where(qok, match_slot, state.loop_target[slot])
+        ),
+        loop_closed=state.loop_closed | qok,
+    )
+    return state, ok
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
+    """One intra-robot loop-closure attempt for the latest keyframe.
+
+    Reference ``performIntraLoopClosure`` (``distributedMapping.h:1070-1160``):
+    descriptor query -> (here: yaw-initialized) submap ICP -> fitness gate ->
+    loop factor queued. Runs fully on device; returns the updated state and a
+    found flag.
+    """
+    slot, q_idx, match, attempt, match_slot = _retrieve_intra(
+        state, robot, cfg
+    )
 
     # --- geometric verification under lax.cond: descriptor hits are rare
     # (a few percent of keyframes on survey data) and TPU lax.cond executes
     # only the taken branch, so the 20-iteration submap ICP costs nothing on
     # the no-candidate path — this is what makes per-keyframe throughput
     # retrieval-bound rather than verification-bound ---
-    match_slot = jnp.where(attempt, match.db_pos, slot)
 
     # Gather the (small) verification inputs OUTSIDE the cond: a cond branch
     # that references the full keyframe array turns it into a branch operand,
     # and its [S, P, 3] layout pads 3 -> 128 lanes (a 42x, multi-GB copy).
     # The gathers are cheap; only the ICP itself needs to be conditional.
-    # hash-ordered storage -> a prefix slice is a uniform spatial subsample
-    n_src = min(cfg.loop.icp_source_points, cfg.keyframe.points_per_keyframe)
-    cur_cloud_outer = pc.Cloud(
-        state.kf_xyz[slot, : n_src * 3].reshape(n_src, 3),
-        state.kf_mask[slot, :n_src],
+    cur_cloud_outer, target_outer, init_pose = _intra_verify_inputs(
+        state, slot, match_slot, match.yaw, robot, cfg
     )
-    target_outer = _gather_submap(state, match_slot, robot, cfg)
 
     def verify(operands):
         cur_cloud, target = operands
-        cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
-        # yaw-initialized start: rotate current cloud by the SC shift
-        # estimate (helps ICP converge on reverse loops)
-        zero = jnp.zeros_like(match.yaw)
-        Ryaw = jnp.stack(
-            [
-                jnp.stack([jnp.cos(match.yaw), -jnp.sin(match.yaw), zero], -1),
-                jnp.stack([jnp.sin(match.yaw), jnp.cos(match.yaw), zero], -1),
-                jnp.stack([zero, zero, jnp.ones_like(match.yaw)], -1),
-            ],
-            -2,
-        )
-        init_pose = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
         source_world = pc.transform(cur_cloud, init_pose.R, init_pose.t)
         icp_res = reg.icp(
             source_world,
@@ -332,34 +417,9 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     fitness, corr_R, corr_t = jax.lax.cond(
         attempt, verify, skip, operand=(cur_cloud_outer, target_outer)
     )
-    ok = attempt & (fitness < cfg.loop.history_fitness_score)
-
-    # corrected current pose and loop factor z = T_pre^-1 ∘ T_cur_corrected
-    # (reference computes (tfICP·tfWrong)^-1·posePre, :1129-1143 — same pose)
-    corrected = se3.Pose(corr_R, corr_t)
-    pre_pose = se3.Pose(state.opt_R[match_slot], state.opt_t[match_slot])
-    z = se3.between(pre_pose, corrected)
-
-    q = state.loop_queue
-    qpos = jnp.minimum(q.count, q.i.shape[0] - 1)
-    qok = ok & (q.count < q.i.shape[0])
-    noise = jnp.maximum(fitness, 1e-3)
-    enc_i = encode_kf(robot, match.index)
-    enc_j = encode_kf(robot, q_idx)
-    new_q = LoopQueue(
-        i=q.i.at[qpos].set(jnp.where(qok, enc_i, q.i[qpos])),
-        j=q.j.at[qpos].set(jnp.where(qok, enc_j, q.j[qpos])),
-        z_R=q.z_R.at[qpos].set(jnp.where(qok, z.R, q.z_R[qpos])),
-        z_t=q.z_t.at[qpos].set(jnp.where(qok, z.t, q.z_t[qpos])),
-        noise=q.noise.at[qpos].set(jnp.where(qok, noise, q.noise[qpos])),
-        count=q.count + qok.astype(jnp.int32),
-    )
-    state = state._replace(
-        loop_queue=new_q,
-        loop_target=state.loop_target.at[slot].set(
-            jnp.where(qok, match_slot, state.loop_target[slot])
-        ),
-        loop_closed=state.loop_closed | qok,
+    state, ok = _enqueue_intra(
+        state, robot, slot, match_slot, q_idx, match.index, fitness,
+        attempt, corr_R, corr_t, cfg,
     )
     return state, ok, match, fitness
 
@@ -397,22 +457,87 @@ def _ingest_and_detect_batch(
 ):
     """Macro-batched keyframe processing: B keyframes in ONE device program.
 
-    ``lax.scan`` over the batch amortizes per-dispatch latency (the dominant
-    cost on a remote-tunneled chip) — the replay/offline-processing mode.
-    Semantically identical to B sequential ``_ingest_and_detect`` calls.
+    Three phases (the replay/offline-processing mode):
+
+    1. ``lax.scan`` ingest + descriptor retrieval (the DB evolves
+       sequentially by nature; both are cheap).
+    2. ONE batched multi-lane ICP over every frame with a candidate
+       (``reg.icp_batched``) under a whole-batch ``lax.cond`` — B solo
+       ICPs in a scan serialize ~90 us/iteration of dispatch-bound tiny
+       ops; batched lanes share each iteration's kernels.
+    3. ``lax.scan`` fitness gate + queue bookkeeping (order-dependent).
+
+    Semantically identical to B sequential ``_ingest_and_detect`` calls:
+    phase 2 passes each frame's historical keyframe count into the submap
+    gather, and batched ICP lanes freeze at their own convergence point.
     Returns (state, founds [B], match_indices [B], fitnesses [B]).
     """
+    B = xyz.shape[0]
+    count0 = state.counts[robot]
 
     def one(st, inp):
         pose_R, pose_t, x, m, s = inp
         st, _ = _ingest(st, robot, se3.Pose(pose_R, pose_t), x, m, s, cfg)
-        st, ok, match, fit = _detect_intra(st, robot, cfg)
-        return st, (ok, match.index, fit)
+        slot, q_idx, match, attempt, match_slot = _retrieve_intra(
+            st, robot, cfg
+        )
+        return st, (slot, q_idx, match.index, match.yaw, attempt, match_slot)
 
-    state, (oks, idxs, fits) = jax.lax.scan(
+    state, (slots, q_idxs, m_idxs, yaws, attempts, match_slots) = jax.lax.scan(
         one, state, (poses.R, poses.t, xyz, mask, stamps)
     )
-    return state, oks, idxs, fits
+
+    # each frame's keyframe count at its sequential detection time
+    counts_hist = count0 + 1 + jnp.arange(B, dtype=count0.dtype)
+    cur_clouds, targets, init_poses = jax.vmap(
+        lambda sl, ms, yw, ct: _intra_verify_inputs(
+            state, sl, ms, yw, robot, cfg, count=ct
+        )
+    )(slots, match_slots, yaws, counts_hist)
+
+    def verify(operands):
+        cur, tgt, inits, active = operands
+        src_world = pc.transform(cur, inits.R, inits.t)
+        res = reg.icp_batched(
+            src_world,
+            tgt,
+            se3.identity((B,), dtype=state.opt_t.dtype),
+            active,
+            max_iters=cfg.loop.icp_iterations,
+            max_corr_dist=cfg.loop.icp_max_corr_dist,
+            tol=cfg.loop.icp_tol,
+        )
+        corrected = se3.compose(res.pose, inits)
+        return res.fitness, corrected.R, corrected.t
+
+    def skip(operands):
+        _cur, _tgt, inits, _active = operands
+        return (
+            jnp.full((B,), jnp.inf, state.opt_t.dtype),
+            inits.R,
+            inits.t,
+        )
+
+    fits, corr_R, corr_t = jax.lax.cond(
+        jnp.any(attempts),
+        verify,
+        skip,
+        operand=(cur_clouds, targets, init_poses, attempts),
+    )
+
+    def enq(st, inp):
+        slot, match_slot, q_idx, m_idx, fit, att, cR, ct = inp
+        st, ok = _enqueue_intra(
+            st, robot, slot, match_slot, q_idx, m_idx, fit, att, cR, ct, cfg
+        )
+        return st, ok
+
+    state, oks = jax.lax.scan(
+        enq,
+        state,
+        (slots, match_slots, q_idxs, m_idxs, fits, attempts, corr_R, corr_t),
+    )
+    return state, oks, m_idxs, fits
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -42,3 +42,71 @@ def test_batch_equals_sequential():
     )
     assert int(s2.graph.num_edges) == int(s1.graph.num_edges)
     assert int(s2.loop_queue.count) == int(s1.loop_queue.count)
+
+
+def test_batch_equals_sequential_with_loops():
+    """Replay a revisiting trajectory so the batched ICP verification path
+    actually fires, and require the same loop decisions as the sequential
+    fused step (phase-2 historical-count submap gathers + per-lane
+    convergence freezing make the batch path exact, not approximate)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import small_cfg, drifting_odometry
+    from scl_slam_tpu.io import kitti
+
+    cfg = small_cfg()
+    world = kitti.SyntheticWorld(
+        seed=3, extent=120.0, n_clusters=80, pts_per_cluster=800
+    )
+    gt = kitti.loop_trajectory(n_frames=48, radius=40.0, revisit=True)
+    odom = drifting_odometry(gt, [0.0] * 6)
+    scans = [world.scan_at(gt[k], max_points=4096, seed=k) for k in range(len(gt))]
+
+    def inputs(k):
+        x = jnp.asarray(scans[k], jnp.float32)
+        pad = cfg.keyframe.raw_points_capacity - x.shape[0]
+        m = jnp.concatenate([jnp.ones(x.shape[0], bool), jnp.zeros(pad, bool)])
+        x = jnp.concatenate([x, jnp.full((pad, 3), 1e6, jnp.float32)])
+        return x, m
+
+    s1 = make_state(cfg)
+    fits1 = []
+    for k in range(len(gt)):
+        x, m = inputs(k)
+        s1, _w, ok, match, fit = M._ingest_and_detect(
+            s1, jnp.array(0), odom[k], x, m, jnp.float32(0.1 * k), cfg
+        )
+        fits1.append(float(fit))
+
+    s2 = make_state(cfg)
+    B = 8
+    fits2 = []
+    for k0 in range(0, len(gt), B):
+        xs, ms = zip(*[inputs(k) for k in range(k0, k0 + B)])
+        pR = jnp.stack([odom[k].R for k in range(k0, k0 + B)])
+        pt = jnp.stack([odom[k].t for k in range(k0, k0 + B)])
+        s2, oks, idxs, fits = M._ingest_and_detect_batch(
+            s2, jnp.array(0), se3.Pose(pR, pt), jnp.stack(xs), jnp.stack(ms),
+            jnp.arange(k0, k0 + B, dtype=jnp.float32) * 0.1, cfg,
+        )
+        fits2.extend(np.asarray(fits).tolist())
+
+    n1, n2 = int(s1.loop_queue.count), int(s2.loop_queue.count)
+    assert n1 > 0, "test sequence produced no loops; gate is meaningless"
+    assert n2 == n1
+    np.testing.assert_array_equal(
+        np.asarray(s2.loop_queue.i[:n1]), np.asarray(s1.loop_queue.i[:n1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2.loop_queue.j[:n1]), np.asarray(s1.loop_queue.j[:n1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.loop_queue.z_t[:n1]),
+        np.asarray(s1.loop_queue.z_t[:n1]),
+        atol=5e-3,
+    )
+    f1 = np.asarray(fits1)
+    f2 = np.asarray(fits2)
+    both = np.isfinite(f1) & np.isfinite(f2)
+    np.testing.assert_array_equal(np.isfinite(f1), np.isfinite(f2))
+    np.testing.assert_allclose(f1[both], f2[both], rtol=5e-3, atol=1e-5)

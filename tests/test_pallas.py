@@ -130,3 +130,32 @@ class TestNNSelectPallas:
         res = reg.icp(src, tgt, max_iters=30, max_corr_dist=5.0)
         assert float(res.fitness) < 1e-3
         assert bool(res.converged)
+
+    def test_batched_predicated_kernel(self):
+        from scl_slam_tpu.ops.pallas_kernels import (
+            nn_select_pallas,
+            nn_select_batched_pallas,
+        )
+
+        rng = np.random.RandomState(6)
+        B = 3
+        q = jnp.asarray(rng.uniform(-30, 30, (B, 256, 3)), jnp.float32)
+        t = jnp.asarray(rng.uniform(-30, 30, (B, 1024, 3)), jnp.float32)
+        mask = jnp.ones((B, 1024), bool)
+        payload = jnp.concatenate(
+            [jnp.swapaxes(t, -1, -2), mask[:, None].astype(jnp.float32)],
+            axis=1,
+        )
+        active = jnp.array([1, 0, 1], jnp.int32)
+        d, sel = nn_select_batched_pallas(q, payload, active, interpret=True)
+        for b in range(B):
+            if int(active[b]):
+                db, sb = nn_select_pallas(q[b], payload[b], interpret=True)
+                np.testing.assert_allclose(
+                    np.asarray(d[b]), np.asarray(db), atol=1e-3
+                )
+                np.testing.assert_array_equal(np.asarray(sel[b]), np.asarray(sb))
+            else:
+                # inactive lane: untouched init values
+                assert np.all(np.isinf(np.asarray(d[b])))
+                np.testing.assert_array_equal(np.asarray(sel[b]), 0.0)
