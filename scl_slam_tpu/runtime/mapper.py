@@ -79,34 +79,18 @@ def _resolve_indices(state: MapperState, enc: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _ingest(
-    state: MapperState,
-    robot: jax.Array,
-    pose: se3.Pose,
-    xyz: jax.Array,
-    mask: jax.Array,
-    stamp: jax.Array,
-    cfg: SlamConfig,
-):
-    """Store keyframe, chain odometry factor, build+insert descriptor.
+def _prepare_frame(xyz: jax.Array, mask: jax.Array, cfg: SlamConfig):
+    """DB-independent per-frame work: storage downsample + descriptor build.
 
-    ``pose`` is the odometry-frame pose from the front end. The optimized
-    pose estimate for the new keyframe chains the odometry increment onto the
-    last optimized pose (the reference reads back the iSAM2 estimate after
-    adding the between factor, ``distributedMapping.h:722-748``).
+    Split out of :func:`_ingest` so the macro-batch path can ``vmap`` it over
+    B frames at once — it is the heavy part of ingestion (voxel/stride
+    downsample of the 64k-point raw scan + polar binning) and depends only on
+    the scan, not on the evolving DB, so running it sequentially inside the
+    replay scan wastes the batch dimension.
     """
-    K = cfg.keyframe.max_keyframes
-    pos = state.counts[robot]            # block position (slot offset)
-    slot = robot * K + pos
-    # protocol keyframe index: monotone per-robot numbering that eviction
-    # never renumbers — continues from the last resident frame's index
-    prev_slot = jnp.maximum(slot - 1, robot * K)
-    idx = jnp.where(pos > 0, state.desc_db.index[prev_slot] + 1, 0)
-
     cloud = pc.Cloud(xyz, mask)
     # stored cloud is downsampled to keyframe capacity; the descriptor is
-    # built from the RAW scan below (max-height binning needs no density
+    # built from the RAW scan (max-height binning needs no density
     # control, and subsampling before binning degrades match distances)
     mode = cfg.keyframe.storage_downsample
     if not cfg.keyframe.fast_voxel:
@@ -123,6 +107,35 @@ def _ingest(
         small = pc.voxel_downsample(
             cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
         )
+    fam = registry.get_family(cfg)
+    descriptor = fam.make(cloud)
+    return small, descriptor
+
+
+def _ingest_prepared(
+    state: MapperState,
+    robot: jax.Array,
+    pose: se3.Pose,
+    small: pc.Cloud,
+    descriptor,
+    stamp: jax.Array,
+    cfg: SlamConfig,
+):
+    """DB-dependent half of ingestion: store keyframe, chain odometry factor,
+
+    insert the (already-built) descriptor. ``pose`` is the odometry-frame
+    pose from the front end. The optimized pose estimate for the new keyframe
+    chains the odometry increment onto the last optimized pose (the reference
+    reads back the iSAM2 estimate after adding the between factor,
+    ``distributedMapping.h:722-748``).
+    """
+    K = cfg.keyframe.max_keyframes
+    pos = state.counts[robot]            # block position (slot offset)
+    slot = robot * K + pos
+    # protocol keyframe index: monotone per-robot numbering that eviction
+    # never renumbers — continues from the last resident frame's index
+    prev_slot = jnp.maximum(slot - 1, robot * K)
+    idx = jnp.where(pos > 0, state.desc_db.index[prev_slot] + 1, 0)
 
     # optimized-frame pose for the new keyframe
     prev_odom = se3.Pose(state.odom_R[prev_slot], state.odom_t[prev_slot])
@@ -147,9 +160,8 @@ def _ingest(
         lambda a, b: jnp.where(first, a, b), prior_graph, between_graph
     )
 
-    # descriptor via the configured family (Scan Context / Iris / M2DP / ...)
+    # insert the prepared descriptor via the configured family
     fam = registry.get_family(cfg)
-    descriptor = fam.make(cloud)
     desc_db = fam.insert(state.desc_db, descriptor, robot, idx, pos=slot)
 
     state = state._replace(
@@ -165,6 +177,23 @@ def _ingest(
         graph=graph,
     )
     return state, fam.to_wire(descriptor)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ingest(
+    state: MapperState,
+    robot: jax.Array,
+    pose: se3.Pose,
+    xyz: jax.Array,
+    mask: jax.Array,
+    stamp: jax.Array,
+    cfg: SlamConfig,
+):
+    """Full single-frame ingestion: :func:`_prepare_frame` +
+
+    :func:`_ingest_prepared` (see those for the reference mapping)."""
+    small, descriptor = _prepare_frame(xyz, mask, cfg)
+    return _ingest_prepared(state, robot, pose, small, descriptor, stamp, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -457,9 +486,12 @@ def _ingest_and_detect_batch(
 ):
     """Macro-batched keyframe processing: B keyframes in ONE device program.
 
-    Three phases (the replay/offline-processing mode):
+    Four phases (the replay/offline-processing mode):
 
-    1. ``lax.scan`` ingest + descriptor retrieval (the DB evolves
+    0. ``vmap`` the DB-independent per-frame prep (storage downsample +
+       descriptor build on the raw 64k-point scans) over all B frames —
+       the heavy half of ingestion, fully parallel across the batch.
+    1. ``lax.scan`` DB insert + descriptor retrieval (the DB evolves
        sequentially by nature; both are cheap).
     2. ONE batched multi-lane ICP over every frame with a candidate
        (``reg.icp_batched``) under a whole-batch ``lax.cond`` — B solo
@@ -475,16 +507,25 @@ def _ingest_and_detect_batch(
     B = xyz.shape[0]
     count0 = state.counts[robot]
 
+    smalls, descriptors = jax.vmap(
+        lambda x, m: _prepare_frame(x, m, cfg)
+    )(xyz, mask)
+
     def one(st, inp):
-        pose_R, pose_t, x, m, s = inp
-        st, _ = _ingest(st, robot, se3.Pose(pose_R, pose_t), x, m, s, cfg)
+        pose_R, pose_t, sm_xyz, sm_mask, desc, s = inp
+        st, _ = _ingest_prepared(
+            st, robot, se3.Pose(pose_R, pose_t), pc.Cloud(sm_xyz, sm_mask),
+            desc, s, cfg,
+        )
         slot, q_idx, match, attempt, match_slot = _retrieve_intra(
             st, robot, cfg
         )
         return st, (slot, q_idx, match.index, match.yaw, attempt, match_slot)
 
     state, (slots, q_idxs, m_idxs, yaws, attempts, match_slots) = jax.lax.scan(
-        one, state, (poses.R, poses.t, xyz, mask, stamps)
+        one,
+        state,
+        (poses.R, poses.t, smalls.xyz, smalls.mask, descriptors, stamps),
     )
 
     # each frame's keyframe count at its sequential detection time
