@@ -908,9 +908,16 @@ class Mapper:
     def should_add_keyframe(self, pose: se3.Pose) -> bool:
         if self._last_kf_pose is None:
             return True
-        d = se3.between(self._last_kf_pose, pose)
-        dist = float(jnp.linalg.norm(d.t))
-        ang = float(jnp.linalg.norm(se3.log(d)[:3]))
+        # host-side numpy: the gate runs once per raw frame (10 Hz live, every
+        # frame in replay) and device round-trips for 12 floats of math cost
+        # more than the math on a remote-tunneled chip. |t1-t0| equals the
+        # norm of between().t (rotation preserves norms); the rotation angle
+        # is the norm of the SO(3) log.
+        R0, t0 = np.asarray(self._last_kf_pose.R), np.asarray(self._last_kf_pose.t)
+        R1, t1 = np.asarray(pose.R), np.asarray(pose.t)
+        dist = float(np.linalg.norm(t1 - t0))
+        cos_ang = (np.trace(R0.T @ R1) - 1.0) * 0.5
+        ang = float(np.arccos(np.clip(cos_ang, -1.0, 1.0)))
         return (
             dist >= self.cfg.keyframe.distance_threshold
             or ang >= self.cfg.keyframe.angle_threshold
@@ -965,6 +972,83 @@ class Mapper:
             self._pending_intra_valid = False
         self._keyframes += 1
         return np.asarray(wire)
+
+    def add_frames(
+        self,
+        poses,
+        scans,
+        stamps=None,
+        apply_gate: bool = True,
+    ) -> dict:
+        """Macro-batched replay ingestion: many odometry frames in ONE device
+
+        program (the dataset-replay / offline mode; see
+        :func:`_ingest_and_detect_batch` for the phase structure). The
+        keyframe gate runs host-side per frame exactly as :meth:`add_frame`
+        would (``apply_gate=False`` ingests every frame); accepted frames go
+        through batched ingest + retrieval + multi-lane ICP verification,
+        with loop factors queued on device identically to the sequential
+        path — call :meth:`spin_once` / :meth:`optimize` to drain.
+
+        Each distinct accepted-batch size compiles a new program: replay
+        callers should chunk at a fixed batch size (bench.py uses 16).
+
+        poses: sequence of ``se3.Pose``; scans: sequence of [Ni, 3] arrays;
+        stamps: optional sequence of floats. Returns ``{"accepted": [bool
+        per frame], "loops": [dict | None per accepted frame],
+        "keyframes": total}``.
+        """
+        n = len(scans)
+        if stamps is None:
+            stamps = [0.0] * n
+        accepted, sel = [], []
+        for i in range(n):
+            self._frames_seen += 1
+            take = (not apply_gate) or self.should_add_keyframe(poses[i])
+            accepted.append(take)
+            if take:
+                self._last_kf_pose = poses[i]
+                sel.append(i)
+        if not sel:
+            return {"accepted": accepted, "loops": [], "keyframes": self._keyframes}
+        K = self.cfg.keyframe.max_keyframes
+        if len(sel) > K:
+            raise ValueError(f"batch of {len(sel)} keyframes exceeds capacity {K}")
+        while int(self.state.counts[self.robot]) + len(sel) > K:
+            before = int(self.state.counts[self.robot])
+            self._compact(self.robot)
+            if int(self.state.counts[self.robot]) >= before:
+                raise RuntimeError(
+                    "eviction could not free capacity for the batch"
+                )
+        cap = self.cfg.keyframe.raw_points_capacity
+        clouds = [pc.from_points(np.asarray(scans[i]), cap) for i in sel]
+        self.state, oks, idxs, fits = _ingest_and_detect_batch(
+            self.state,
+            jnp.array(self.robot),
+            se3.Pose(
+                jnp.stack([poses[i].R for i in sel]),
+                jnp.stack([poses[i].t for i in sel]),
+            ),
+            jnp.stack([c.xyz for c in clouds]),
+            jnp.stack([c.mask for c in clouds]),
+            jnp.asarray([stamps[i] for i in sel], jnp.float32),
+            self.cfg,
+        )
+        self._keyframes += len(sel)
+        oks_h, idxs_h, fits_h = np.asarray(oks), np.asarray(idxs), np.asarray(fits)
+        loops = [
+            {"matched_index": int(idxs_h[b]), "fitness": float(fits_h[b])}
+            if bool(oks_h[b])
+            else None
+            for b in range(len(sel))
+        ]
+        # hand the last frame's result to detect_intra_loop so a following
+        # spin_once doesn't re-dispatch detection for a keyframe the batch
+        # already handled
+        self._pending_intra = loops[-1]
+        self._pending_intra_valid = True
+        return {"accepted": accepted, "loops": loops, "keyframes": self._keyframes}
 
     def ingest_peer_descriptor(
         self,

@@ -110,3 +110,58 @@ def test_batch_equals_sequential_with_loops():
     both = np.isfinite(f1) & np.isfinite(f2)
     np.testing.assert_array_equal(np.isfinite(f1), np.isfinite(f2))
     np.testing.assert_allclose(f1[both], f2[both], rtol=5e-3, atol=1e-5)
+
+
+def test_public_add_frames_equals_add_frame():
+    """The public Mapper.add_frames replay API must produce the same state
+    as sequential Mapper.add_frame: same keyframes (gate included), same
+    loop queue, same trajectories."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import small_cfg, drifting_odometry
+    from scl_slam_tpu.io import kitti
+    from scl_slam_tpu.runtime.mapper import Mapper
+
+    cfg = small_cfg()
+    world = kitti.SyntheticWorld(
+        seed=3, extent=120.0, n_clusters=80, pts_per_cluster=800
+    )
+    gt = kitti.loop_trajectory(n_frames=48, radius=40.0, revisit=True)
+    odom = drifting_odometry(gt, [0.0] * 6)
+    scans = [
+        np.asarray(world.scan_at(gt[k], max_points=4096, seed=k))
+        for k in range(len(gt))
+    ]
+
+    m1 = Mapper(cfg)
+    for k in range(len(gt)):
+        m1.add_frame(odom[k], scans[k], stamp=0.1 * k)
+
+    m2 = Mapper(cfg)
+    B = 8
+    loops = []
+    for k0 in range(0, len(gt), B):
+        out = m2.add_frames(
+            [odom[k] for k in range(k0, k0 + B)],
+            scans[k0 : k0 + B],
+            stamps=[0.1 * k for k in range(k0, k0 + B)],
+        )
+        assert all(out["accepted"])  # 1.5 m spacing passes the 1 m gate
+        loops.extend(out["loops"])
+
+    n1, n2 = int(m1.state.loop_queue.count), int(m2.state.loop_queue.count)
+    assert n1 > 0, "revisit trajectory produced no loops; gate is meaningless"
+    assert n2 == n1
+    np.testing.assert_array_equal(
+        np.asarray(m2.state.loop_queue.i[:n1]), np.asarray(m1.state.loop_queue.i[:n1])
+    )
+    assert sum(1 for l in loops if l) == n2
+    assert int(m2.state.counts[0]) == int(m1.state.counts[0])
+    np.testing.assert_allclose(
+        np.asarray(m2.state.opt_t), np.asarray(m1.state.opt_t), atol=5e-3
+    )
+
+    # both solve to the same trajectory
+    m1.optimize()
+    m2.optimize()
+    np.testing.assert_allclose(m2.trajectory(), m1.trajectory(), atol=5e-3)
