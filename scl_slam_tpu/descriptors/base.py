@@ -98,6 +98,40 @@ def db_insert(
     )
 
 
+def db_insert_block(
+    db: DescriptorDB,
+    descriptors: jax.Array,
+    keys: jax.Array,
+    robot: jax.Array | int,
+    indices: jax.Array,
+    pos0: jax.Array,
+) -> DescriptorDB:
+    """Contiguous B-row insert at rows ``pos0 .. pos0+B-1``.
+
+    The macro-batch ingest path: B frames of one robot always land in
+    consecutive slots, so the B per-frame ``db_insert`` scatters collapse to
+    ONE dynamic_update_slice per DB array. Caller guarantees
+    ``0 <= pos0`` and ``pos0 + B <= capacity`` (runtime/mapper.Mapper
+    enforces this before dispatching a batch).
+    """
+    B = indices.shape[0]
+    rob = jnp.broadcast_to(jnp.asarray(robot, jnp.int32), (B,))
+    start = (pos0,) + (0,) * (db.descriptors.ndim - 1)
+    return DescriptorDB(
+        descriptors=jax.lax.dynamic_update_slice(
+            db.descriptors, descriptors.astype(db.descriptors.dtype), start
+        ),
+        keys=jax.lax.dynamic_update_slice(
+            db.keys, keys.astype(db.keys.dtype), (pos0, 0)
+        ),
+        robot=jax.lax.dynamic_update_slice(db.robot, rob, (pos0,)),
+        index=jax.lax.dynamic_update_slice(
+            db.index, indices.astype(jnp.int32), (pos0,)
+        ),
+        count=db.count + B,
+    )
+
+
 class Match(NamedTuple):
     """Result of a loop-closure query.
 

@@ -40,6 +40,10 @@ class Family:
     to_wire: Callable
     from_wire: Callable
     wire_dim: int
+    # descriptor pytree -> (full DB array, retrieval key): the two tensors
+    # ``insert`` hands to base.db_insert. Lets the macro-batch path collapse
+    # B inserts into one base.db_insert_block without per-family knowledge.
+    parts: Callable = None
 
     def __hash__(self):
         return hash((self.name, self.wire_dim))
@@ -72,6 +76,7 @@ def _vector_family(name, make_fn, dim, params) -> Family:
         to_wire=lambda d: d,
         from_wire=lambda v: v,
         wire_dim=dim,
+        parts=lambda d: (d, d),
     )
 
 
@@ -115,6 +120,7 @@ def get_family(cfg: SlamConfig) -> Family:
             to_wire=scan_context.to_wire,
             from_wire=lambda v: scan_context.from_wire(v, sc_cfg),
             wire_dim=sc_cfg.num_rings * sc_cfg.num_sectors,
+            parts=lambda d: (d.image, d.ring_key),
         )
     if kind == DescriptorType.LIDAR_IRIS:
         p = cfg.lidar_iris
@@ -140,6 +146,7 @@ def get_family(cfg: SlamConfig) -> Family:
             to_wire=lidar_iris.to_wire,
             from_wire=lambda v: lidar_iris.from_wire(v, li_cfg),
             wire_dim=p.rows * p.cols,
+            parts=lambda d: (d.image, d.row_key),
         )
     if kind == DescriptorType.M2DP:
         m_cfg = m2dp.M2DPConfig()
@@ -153,6 +160,7 @@ def get_family(cfg: SlamConfig) -> Family:
             to_wire=m2dp.to_wire,
             from_wire=lambda v: m2dp.from_wire(v, m_cfg),
             wire_dim=m_cfg.num_p * m_cfg.num_q + m_cfg.num_t * m_cfg.num_r,
+            parts=lambda d: (d.descriptor, d.descriptor),
         )
     if kind == DescriptorType.GRSD:
         g_cfg = geometric.GRSDConfig()

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
-from ..descriptors import registry
+from ..descriptors import base, registry
 from ..geometry import se3, so3
 from ..graph import factors as F
 from ..graph import solver
@@ -399,6 +399,57 @@ def _enqueue_intra(
     return state, ok
 
 
+def _enqueue_intra_block(
+    state: MapperState, robot, slots, match_slots, q_idxs, match_indices,
+    fits, attempts, corr_R, corr_t, cfg: SlamConfig,
+):
+    """Vectorized B-frame :func:`_enqueue_intra` for the macro-batch path.
+
+    The only cross-frame coupling in the sequential scan is the queue
+    cursor — frame k's append position is count0 plus the number of
+    accepted batch-mates before it, which an exclusive cumsum reproduces
+    exactly (including the per-row capacity check). ``loop_target`` writes
+    touch each frame's OWN fresh slot, so they never interact within a
+    batch. Returns (state, oks [B]).
+    """
+    B = fits.shape[0]
+    oks = attempts & (fits < cfg.loop.history_fitness_score)
+
+    corrected = se3.Pose(corr_R, corr_t)
+    pre_poses = se3.Pose(state.opt_R[match_slots], state.opt_t[match_slots])
+    z = se3.between(pre_poses, corrected)
+
+    q = state.loop_queue
+    Q = q.i.shape[0]
+    ok_i = oks.astype(jnp.int32)
+    qpos = q.count + jnp.cumsum(ok_i) - ok_i          # exclusive cumsum
+    qoks = oks & (qpos < Q)
+    pos_w = jnp.where(qoks, qpos, Q)                  # scratch row drop
+
+    def scatter_rows(arr, rows):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad])[: Q + 1].at[pos_w].set(
+            rows.astype(arr.dtype)
+        )[:Q]
+
+    new_q = LoopQueue(
+        i=scatter_rows(q.i, encode_kf(robot, match_indices)),
+        j=scatter_rows(q.j, encode_kf(robot, q_idxs)),
+        z_R=scatter_rows(q.z_R, z.R),
+        z_t=scatter_rows(q.z_t, z.t),
+        noise=scatter_rows(q.noise, jnp.maximum(fits, 1e-3)),
+        count=q.count + jnp.sum(qoks.astype(jnp.int32)),
+    )
+    state = state._replace(
+        loop_queue=new_q,
+        loop_target=state.loop_target.at[slots].set(
+            jnp.where(qoks, match_slots, state.loop_target[slots])
+        ),
+        loop_closed=state.loop_closed | jnp.any(qoks),
+    )
+    return state, oks
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
     """One intra-robot loop-closure attempt for the latest keyframe.
@@ -474,6 +525,124 @@ def _ingest_and_detect(
     return state, wire, ok, match, fitness
 
 
+def _ingest_prepared_block(
+    state: MapperState,
+    robot: jax.Array,
+    poses: se3.Pose,      # [B] odometry-frame keyframe poses
+    smalls: pc.Cloud,     # [B, P, 3] prepared storage clouds
+    descriptors,          # [B]-stacked descriptor pytree
+    stamps: jax.Array,    # [B]
+    cfg: SlamConfig,
+):
+    """Vectorized B-frame ingestion: ONE block write per state array.
+
+    Replaces B sequential :func:`_ingest_prepared` calls in the macro-batch
+    path. Correct because batch frames of one robot always land in
+    consecutive slots (``Mapper.add_frames`` guarantees capacity, so no
+    mid-batch eviction): every ``.at[slot].set`` scatter collapses to a
+    ``dynamic_update_slice`` of a [B, ...] block, and the descriptor DB
+    insert to one :func:`base.db_insert_block`. The only genuinely
+    sequential piece — chaining each optimized pose estimate onto the
+    previous frame's (with per-step orthonormalization, bit-identical to
+    the sequential path) — stays a ``lax.scan`` over B tiny 3x3 composes.
+
+    Returns (state, slots [B], indices [B]).
+    """
+    K = cfg.keyframe.max_keyframes
+    B = stamps.shape[0]
+    pos0 = state.counts[robot]
+    slot0 = robot * K + pos0
+    ar = jnp.arange(B, dtype=pos0.dtype)
+    slots = slot0 + ar
+
+    # protocol keyframe indices: continue from the last resident frame's
+    prev_slot = jnp.maximum(slot0 - 1, robot * K)
+    first = pos0 == 0
+    idx0 = jnp.where(first, 0, state.desc_db.index[prev_slot] + 1)
+    idxs = idx0 + ar
+
+    # odometry increments: frame 0 chains off the last stored odometry pose
+    prev_R = jnp.concatenate([state.odom_R[prev_slot][None], poses.R[:-1]])
+    prev_t = jnp.concatenate([state.odom_t[prev_slot][None], poses.t[:-1]])
+    incs = se3.between(se3.Pose(prev_R, prev_t), poses)            # [B]
+
+    # optimized-pose chaining (sequential by nature; tiny)
+    def chain(carry, inp):
+        cR, ct = carry
+        iR, it_, pR, pt, k = inp
+        comp = se3.compose(se3.Pose(cR, ct), se3.Pose(iR, it_))
+        is_first = first & (k == 0)
+        nR = so3.orthonormalize(jnp.where(is_first, pR, comp.R))
+        nt = jnp.where(is_first, pt, comp.t)
+        return (nR, nt), (nR, nt)
+
+    (_, _), (opt_R, opt_t) = jax.lax.scan(
+        chain,
+        (state.opt_R[prev_slot], state.opt_t[prev_slot]),
+        (incs.R, incs.t, poses.R, poses.t, ar),
+    )
+
+    # factor graph: frame k>0 (or pos0>0) gets a between factor
+    # slot_{k-1} -> slot_k; the robot's very first frame gets a prior
+    # instead (reference distributedMapping.h:681-698). Between rows land at
+    # e0 + k - first; the dropped row 0 (when first) and any
+    # capacity-overflow rows are routed to a scratch row and discarded —
+    # exactly the sequential add_between no-op-when-full semantics.
+    g = state.graph
+    odom_si = jnp.asarray(
+        [1.0 / s for s in cfg.optimizer.odometry_sigmas], jnp.float32
+    )
+    prior_si = [1.0 / s for s in cfg.optimizer.prior_sigmas]
+    prior_graph = F.add_prior(g, slot0, se3.Pose(poses.R[0], poses.t[0]), prior_si)
+    g = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(first, a, b), prior_graph, g
+    )
+    E = g.edge_capacity
+    shift = first.astype(ar.dtype)
+    edge_pos = g.num_edges + ar - shift
+    row_ok = (ar >= shift) & (edge_pos < E)
+    pos_w = jnp.where(row_ok, edge_pos, E)  # scratch row for dropped writes
+
+    def scatter_rows(arr, rows):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad])[: E + 1].at[pos_w].set(
+            rows.astype(arr.dtype)
+        )[:E]
+
+    g = g._replace(
+        i=scatter_rows(g.i, slots - 1),
+        j=scatter_rows(g.j, slots),
+        z=se3.Pose(scatter_rows(g.z.R, incs.R), scatter_rows(g.z.t, incs.t)),
+        sqrt_info=scatter_rows(
+            g.sqrt_info, jnp.broadcast_to(odom_si, (B, 6))
+        ),
+        num_edges=g.num_edges + jnp.sum(row_ok.astype(jnp.int32)),
+    )
+
+    # descriptor DB: one contiguous block insert
+    fam = registry.get_family(cfg)
+    full, key = jax.vmap(fam.parts)(descriptors)
+    desc_db = base.db_insert_block(state.desc_db, full, key, robot, idxs, slot0)
+
+    def upd(arr, block):
+        start = (slot0,) + (0,) * (arr.ndim - 1)
+        return jax.lax.dynamic_update_slice(arr, block.astype(arr.dtype), start)
+
+    state = state._replace(
+        kf_xyz=upd(state.kf_xyz, smalls.xyz.reshape(B, -1)),
+        kf_mask=upd(state.kf_mask, smalls.mask),
+        odom_R=upd(state.odom_R, poses.R),
+        odom_t=upd(state.odom_t, poses.t),
+        opt_R=upd(state.opt_R, opt_R),
+        opt_t=upd(state.opt_t, opt_t),
+        stamps=upd(state.stamps, stamps),
+        counts=state.counts.at[robot].add(B),
+        desc_db=desc_db,
+        graph=g,
+    )
+    return state, slots, idxs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _ingest_and_detect_batch(
     state: MapperState,
@@ -491,13 +660,17 @@ def _ingest_and_detect_batch(
     0. ``vmap`` the DB-independent per-frame prep (storage downsample +
        descriptor build on the raw 64k-point scans) over all B frames —
        the heavy half of ingestion, fully parallel across the batch.
-    1. ``lax.scan`` DB insert + descriptor retrieval (the DB evolves
-       sequentially by nature; both are cheap).
+    1. vectorized block ingest (:func:`_ingest_prepared_block`: one
+       dynamic_update_slice per state array instead of B scatter steps)
+       + ONE vmapped retrieval against the post-insert DB (equivalent to
+       sequential retrieval — see inline note).
     2. ONE batched multi-lane ICP over every frame with a candidate
        (``reg.icp_batched``) under a whole-batch ``lax.cond`` — B solo
        ICPs in a scan serialize ~90 us/iteration of dispatch-bound tiny
        ops; batched lanes share each iteration's kernels.
-    3. ``lax.scan`` fitness gate + queue bookkeeping (order-dependent).
+    3. vectorized fitness gate + queue append (:func:`_enqueue_intra_block`:
+       the queue cursor — the only order-dependent part — becomes an
+       exclusive cumsum).
 
     Semantically identical to B sequential ``_ingest_and_detect`` calls:
     phase 2 passes each frame's historical keyframe count into the submap
@@ -511,21 +684,28 @@ def _ingest_and_detect_batch(
         lambda x, m: _prepare_frame(x, m, cfg)
     )(xyz, mask)
 
-    def one(st, inp):
-        pose_R, pose_t, sm_xyz, sm_mask, desc, s = inp
-        st, _ = _ingest_prepared(
-            st, robot, se3.Pose(pose_R, pose_t), pc.Cloud(sm_xyz, sm_mask),
-            desc, s, cfg,
-        )
-        slot, q_idx, match, attempt, match_slot = _retrieve_intra(
-            st, robot, cfg
-        )
-        return st, (slot, q_idx, match.index, match.yaw, attempt, match_slot)
+    # Phase 1 is fully vectorized: block ingest (one write per state array),
+    # then ONE batched retrieval against the post-insert DB. Equivalent to
+    # sequential per-frame retrieval because the intra candidate mask is
+    # strictly one-sided in the protocol index
+    # (descriptors/base.py::candidate_mask: index < q_idx - exclude_recent),
+    # so batch-mates — which all carry LARGER-or-equal indices than any
+    # frame's own exclusion horizon — can never be candidates for each
+    # other, inserted or not.
+    state, slots, q_idxs = _ingest_prepared_block(
+        state, robot, poses, smalls, descriptors, stamps, cfg
+    )
+    fam = registry.get_family(cfg)
 
-    state, (slots, q_idxs, m_idxs, yaws, attempts, match_slots) = jax.lax.scan(
-        one,
-        state,
-        (poses.R, poses.t, smalls.xyz, smalls.mask, descriptors, stamps),
+    def retrieve(desc, q_idx, slot):
+        match = fam.query(state.desc_db, desc, robot, q_idx, mode="intra")
+        already = state.loop_target[slot] >= 0
+        attempt = match.found & ~already
+        match_slot = jnp.where(attempt, match.db_pos, slot)
+        return match.index, match.yaw, attempt, match_slot
+
+    m_idxs, yaws, attempts, match_slots = jax.vmap(retrieve)(
+        descriptors, q_idxs, slots
     )
 
     # each frame's keyframe count at its sequential detection time
@@ -566,17 +746,9 @@ def _ingest_and_detect_batch(
         operand=(cur_clouds, targets, init_poses, attempts),
     )
 
-    def enq(st, inp):
-        slot, match_slot, q_idx, m_idx, fit, att, cR, ct = inp
-        st, ok = _enqueue_intra(
-            st, robot, slot, match_slot, q_idx, m_idx, fit, att, cR, ct, cfg
-        )
-        return st, ok
-
-    state, oks = jax.lax.scan(
-        enq,
-        state,
-        (slots, match_slots, q_idxs, m_idxs, fits, attempts, corr_R, corr_t),
+    state, oks = _enqueue_intra_block(
+        state, robot, slots, match_slots, q_idxs, m_idxs, fits, attempts,
+        corr_R, corr_t, cfg,
     )
     return state, oks, m_idxs, fits
 
