@@ -92,6 +92,11 @@ class LoopConfig:
     # keyframe cloud's hash-ordered layout makes a prefix slice a spatially
     # uniform subsample, so 1024 points align as well as 4096 at 4x less cost
     icp_source_points: int = 1024
+    # coarse-to-fine ICP: iterate first on every f-th source/target point
+    # (1/f^2 of the NN pairs — the NN pass is the whole verification cost),
+    # then polish at full resolution from the coarse pose. 1 disables.
+    # Fitness is always computed at full resolution.
+    icp_coarse_factor: int = 4
     # submap assembly: +-25 keyframes (reference :1163-1186)
     near_keyframes: int = 25
     submap_capacity: int = 8192

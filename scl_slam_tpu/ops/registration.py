@@ -138,43 +138,35 @@ def nearest_select(
     return d2, payload[:, idx]
 
 
-def icp(
-    source: Cloud,
-    target: Cloud,
-    init: se3.Pose | None = None,
-    max_iters: int = 30,
-    max_corr_dist: float = 10.0,
-    tol: float = 1e-6,
-) -> ICPResult:
-    """Point-to-point ICP with early exit at the update-norm tolerance.
+# Stall exit: an ICP lane whose update norm stops shrinking (no 10%
+# improvement for STALL_PATIENCE consecutive iterations) is oscillating
+# around its attractor and will not reach tol — iterating further changes
+# the final fitness by noise only. Spurious loop candidates (descriptor
+# false positives on self-similar scenes) are exactly these lanes, and on
+# TPU each while_loop iteration carries a ~0.3 ms floor of small-kernel
+# launches (Kabsch/compose glue) regardless of NN size, so freezing them
+# early is the single biggest verification-path saving.
+STALL_RATIO = 0.9
+STALL_PATIENCE = 3
 
-    Semantics follow the reference's intra-loop verification
-    (``include/distributedMapping.h:1108-1126``): fitness = mean squared
-    correspondence distance over matches within ``max_corr_dist`` (PCL
-    ``getFitnessScore`` analog), compared against
-    ``historyKeyframeFitnessScore`` by the caller.
+
+def _icp_stage(src, smask, payload, init, max_iters, max_corr_dist, tol):
+    """One ICP while_loop over fixed correspondence resolution.
+
+    lax.while_loop, not scan: callers run ICP sequentially (one verify per
+    frame under the batch scan / fleet scan), so stopping at convergence
+    saves real NN passes — the per-iteration cost (~53 us at 1024x8192)
+    dominates the verification path and typical yaw-initialized loops
+    converge well before the max_iters budget. Returns
+    (pose, delta, converged).
     """
-    if init is None:
-        init = se3.identity(dtype=source.xyz.dtype)
-    tgt = jnp.where(target.mask[:, None], target.xyz, PAD_VALUE)
-    src = source.xyz
-    smask = source.mask
-    # target payload for the fused NN+select pass: xyz rows + validity row
-    payload = jnp.concatenate(
-        [tgt.T, target.mask[None].astype(src.dtype)], axis=0
-    )                                                               # [4, Nt]
 
-    # lax.while_loop, not scan: callers run ICP sequentially (one verify per
-    # frame under the batch scan / fleet scan), so stopping at convergence
-    # saves real NN passes — the per-iteration cost (~53 us at 1024x8192)
-    # dominates the verification path and typical yaw-initialized loops
-    # converge well before the max_iters budget.
     def cond(carry):
-        i, _pose, _delta, converged = carry
-        return (i < max_iters) & ~converged
+        i, _pose, _delta, _stall, done = carry
+        return (i < max_iters) & ~done
 
     def body(carry):
-        i, pose, _prev_delta, _ = carry
+        i, pose, prev_delta, stall, _ = carry
         moved = se3.transform_points(pose, src)
         d2, sel = nearest_select(moved, payload)
         matched = sel[:3].T
@@ -189,17 +181,68 @@ def icp(
         delta = jnp.linalg.norm(update.t) + jnp.linalg.norm(
             update.R - jnp.eye(3, dtype=src.dtype)
         )
-        return (i + 1, new_pose, delta, delta < tol)
+        stall = jnp.where(delta < STALL_RATIO * prev_delta, 0, stall + 1)
+        done = (delta < tol) | (stall >= STALL_PATIENCE)
+        return (i + 1, new_pose, delta, stall, done)
 
-    _, pose, delta, converged = jax.lax.while_loop(
+    _, pose, delta, _stall, _done = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.array(0),
             init,
             jnp.array(jnp.inf, src.dtype),
+            jnp.array(0),
             jnp.array(False),
         ),
+    )
+    return pose, delta, delta < tol
+
+
+def icp(
+    source: Cloud,
+    target: Cloud,
+    init: se3.Pose | None = None,
+    max_iters: int = 30,
+    max_corr_dist: float = 10.0,
+    tol: float = 1e-6,
+    coarse_factor: int = 1,
+) -> ICPResult:
+    """Point-to-point ICP with early exit at the update-norm tolerance.
+
+    Semantics follow the reference's intra-loop verification
+    (``include/distributedMapping.h:1108-1126``): fitness = mean squared
+    correspondence distance over matches within ``max_corr_dist`` (PCL
+    ``getFitnessScore`` analog), compared against
+    ``historyKeyframeFitnessScore`` by the caller.
+
+    ``coarse_factor`` > 1 enables a coarse-to-fine schedule: a first
+    while_loop iterates on every ``coarse_factor``-th source/target point
+    (1/f^2 of the NN pairs per iteration — the NN pass is the whole cost
+    of verification), then the full-resolution loop polishes from the
+    coarse pose, typically in a couple of iterations. Both clouds are
+    scramble/hash-ordered at rest (see ops.pointcloud downsamplers), so a
+    strided slice is a spatially uniform subsample. Fitness is always
+    computed at full resolution.
+    """
+    if init is None:
+        init = se3.identity(dtype=source.xyz.dtype)
+    tgt = jnp.where(target.mask[:, None], target.xyz, PAD_VALUE)
+    src = source.xyz
+    smask = source.mask
+    # target payload for the fused NN+select pass: xyz rows + validity row
+    payload = jnp.concatenate(
+        [tgt.T, target.mask[None].astype(src.dtype)], axis=0
+    )                                                               # [4, Nt]
+
+    f = coarse_factor
+    if f > 1 and src.shape[0] % f == 0 and payload.shape[1] % f == 0:
+        init, _, _ = _icp_stage(
+            src[::f], smask[::f], payload[:, ::f], init,
+            max_iters, max_corr_dist, tol,
+        )
+    pose, delta, converged = _icp_stage(
+        src, smask, payload, init, max_iters, max_corr_dist, tol
     )
 
     # final fitness with converged pose
@@ -216,6 +259,79 @@ def icp(
     return ICPResult(pose, fitness, inlier_frac, converged)
 
 
+def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist):
+    """Batched NN pass for the given active-lane mask; frozen lanes skip
+    all tile compute in the predicated kernel (d2=inf, sel=0 for them)."""
+    from . import pallas_kernels as pk
+
+    nq, nt = src.shape[1], payload.shape[2]
+    predicated = (
+        jax.default_backend() != "cpu"
+        and nq % pk.TQ == 0
+        and pk.pick_target_tile(nt) is not None
+    )
+    moved = se3.transform_points(pose, src)                 # [B, N, 3]
+    if predicated:
+        d2, sel = pk.nn_select_batched_pallas(moved, payload, lanes)
+    else:
+        d2, sel = jax.vmap(nearest_select)(moved, payload)
+    matched = jnp.swapaxes(sel[:, :3], -1, -2)              # [B, N, 3]
+    good = (
+        smask
+        & (sel[:, 3] > 0.5)
+        & (d2 < max_corr_dist * max_corr_dist)
+    )
+    return moved, d2, matched, good
+
+
+def _icp_stage_batched(
+    src, smask, payload, R0, t0, done0, max_iters, max_corr_dist, tol
+):
+    """Batched-lane ICP while_loop at one correspondence resolution.
+
+    Returns (R, t, delta, done). Lane semantics as in :func:`icp_batched`.
+    """
+    B = src.shape[0]
+    dtype = src.dtype
+    eye = jnp.eye(3, dtype=dtype)
+
+    def cond(carry):
+        i, _R, _t, _delta, _stall, done = carry
+        return (i < max_iters) & jnp.any(~done)
+
+    def body(carry):
+        i, R, t, delta, stall, done = carry
+        pose = se3.Pose(R, t)
+        moved, _d2, matched, good = _matches_batched(
+            src, smask, payload, pose, ~done, max_corr_dist
+        )
+        w = good.astype(dtype)
+        update = kabsch(moved, matched, w)
+        new_pose = se3.compose(update, pose)
+        ndelta = jnp.linalg.norm(update.t, axis=-1) + jnp.linalg.norm(
+            update.R - eye, axis=(-2, -1)
+        )
+        keep = done[:, None, None]
+        R = jnp.where(keep, R, new_pose.R)
+        t = jnp.where(done[:, None], t, new_pose.t)
+        stall = jnp.where(
+            done, stall, jnp.where(ndelta < STALL_RATIO * delta, 0, stall + 1)
+        )
+        delta = jnp.where(done, delta, ndelta)
+        done = done | (delta < tol) | (stall >= STALL_PATIENCE)
+        return (i + 1, R, t, delta, stall, done)
+
+    _, R, t, delta, _stall, done = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.array(0), R0, t0, jnp.full((B,), jnp.inf, dtype),
+            jnp.zeros((B,), jnp.int32), done0,
+        ),
+    )
+    return R, t, delta, done
+
+
 def icp_batched(
     source: Cloud,
     target: Cloud,
@@ -224,6 +340,7 @@ def icp_batched(
     max_iters: int = 30,
     max_corr_dist: float = 10.0,
     tol: float = 1e-6,
+    coarse_factor: int = 1,
 ) -> ICPResult:
     """B independent point-to-point ICPs in one device program.
 
@@ -237,8 +354,10 @@ def icp_batched(
     source/target: Clouds with leading batch dim ([B, N, 3] / [B, N]).
     init: batched Pose. active [B] bool: lanes to run (inactive lanes
     return fitness=inf, identity-ish results; callers gate on ``active``).
+    ``coarse_factor``: see :func:`icp` — a coarse strided-subsample stage
+    (1/f^2 NN pairs per iteration) before the full-resolution polish;
+    fitness always comes from full resolution.
     """
-    B = source.xyz.shape[0]
     dtype = source.xyz.dtype
     tgt = jnp.where(target.mask[..., None], target.xyz, PAD_VALUE)
     payload = jnp.concatenate(
@@ -250,69 +369,23 @@ def icp_batched(
     )                                                           # [B, 4, M]
     src = source.xyz
     smask = source.mask
-    eye = jnp.eye(3, dtype=dtype)
-
-    from . import pallas_kernels as pk
-
-    nq, nt = src.shape[1], payload.shape[2]
-    predicated = (
-        jax.default_backend() != "cpu"
-        and nq % pk.TQ == 0
-        and pk.pick_target_tile(nt) is not None
-    )
-
-    def matches(pose, lanes):
-        """NN pass for the given active-lane mask; frozen lanes skip all
-        tile compute in the predicated kernel (d2=inf, sel=0 for them)."""
-        moved = se3.transform_points(pose, src)                 # [B, N, 3]
-        if predicated:
-            d2, sel = pk.nn_select_batched_pallas(moved, payload, lanes)
-        else:
-            d2, sel = jax.vmap(nearest_select)(moved, payload)
-        matched = jnp.swapaxes(sel[:, :3], -1, -2)              # [B, N, 3]
-        good = (
-            smask
-            & (sel[:, 3] > 0.5)
-            & (d2 < max_corr_dist * max_corr_dist)
-        )
-        return moved, d2, matched, good
-
-    def cond(carry):
-        i, _R, _t, _delta, done = carry
-        return (i < max_iters) & jnp.any(~done)
-
-    def body(carry):
-        i, R, t, delta, done = carry
-        pose = se3.Pose(R, t)
-        moved, _d2, matched, good = matches(pose, ~done)
-        w = good.astype(dtype)
-        update = kabsch(moved, matched, w)
-        new_pose = se3.compose(update, pose)
-        ndelta = jnp.linalg.norm(update.t, axis=-1) + jnp.linalg.norm(
-            update.R - eye, axis=(-2, -1)
-        )
-        keep = done[:, None, None]
-        R = jnp.where(keep, R, new_pose.R)
-        t = jnp.where(done[:, None], t, new_pose.t)
-        delta = jnp.where(done, delta, ndelta)
-        done = done | (delta < tol)
-        return (i + 1, R, t, delta, done)
 
     done0 = ~active
-    _, R, t, delta, done = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            jnp.array(0),
-            init.R,
-            init.t,
-            jnp.full((B,), jnp.inf, dtype),
-            done0,
-        ),
+    R0, t0 = init.R, init.t
+    f = coarse_factor
+    if f > 1 and src.shape[1] % f == 0 and payload.shape[2] % f == 0:
+        R0, t0, _, _ = _icp_stage_batched(
+            src[:, ::f], smask[:, ::f], payload[:, :, ::f],
+            R0, t0, done0, max_iters, max_corr_dist, tol,
+        )
+    R, t, delta, done = _icp_stage_batched(
+        src, smask, payload, R0, t0, done0, max_iters, max_corr_dist, tol
     )
     pose = se3.Pose(R, t)
 
-    _moved, d2, _matched, good = matches(pose, active)
+    _moved, d2, _matched, good = _matches_batched(
+        src, smask, payload, pose, active, max_corr_dist
+    )
     n_good = jnp.sum(good, axis=-1)
     fitness = jnp.where(
         (n_good > 0) & active,
@@ -321,7 +394,7 @@ def icp_batched(
         jnp.inf,
     )
     inlier_frac = n_good / jnp.maximum(jnp.sum(smask, axis=-1), 1)
-    return ICPResult(pose, fitness, inlier_frac, done & active)
+    return ICPResult(pose, fitness, inlier_frac, (delta < tol) & active)
 
 
 def icp_point_to_plane(

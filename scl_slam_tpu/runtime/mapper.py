@@ -282,11 +282,39 @@ def _gather_submap(
     slots = jnp.clip(center_slot + offs, lo, lo + jnp.maximum(count - 1, 0))
     W = 2 * near + 1
     per = max(1, cfg.loop.submap_capacity // W)
-    xyz = state.kf_xyz[slots, : per * 3].reshape(-1, per, 3)  # hash-ordered prefixes
-    mask = state.kf_mask[slots, :per]  # [W, per]
-    poses = se3.Pose(state.opt_R[slots], state.opt_t[slots])
-    world = se3.transform_points(poses, xyz)  # [W, per, 3]
-    flat = world.reshape(-1, 3)
+
+    # Row selection as one-hot MXU matmuls, NOT array gathers: XLA lowers a
+    # W-row gather from the big keyframe arrays to a serial per-row
+    # dynamic-slice loop (~6 us DMA latency each — 5 ms across 16 vmapped
+    # lanes for data that fits in 2 MB). The matmul is EXACT f32: the
+    # package pins jax_default_matmul_precision=highest, under which each
+    # product is 1.0 * v reconstructed from its bf16 splits and every output
+    # element sums exactly one nonzero term. Point prefixes are pulled
+    # directly in SoA form (stride-3 column slices de-interleave x/y/z), so
+    # the SE3 transform below runs on [W, per] lane-shaped arrays instead of
+    # [W*per, 3] ones whose 3-lane layout pads 42x.
+    total = state.kf_xyz.shape[0]
+    onehot = (slots[:, None] == jnp.arange(total)[None, :]).astype(
+        state.kf_xyz.dtype
+    )  # [W, total]
+    xs = onehot @ state.kf_xyz[:, 0 : per * 3 : 3]  # [W, per] hash-ordered
+    ys = onehot @ state.kf_xyz[:, 1 : per * 3 : 3]  # prefixes
+    zs = onehot @ state.kf_xyz[:, 2 : per * 3 : 3]
+    mask = (onehot @ state.kf_mask[:, :per].astype(onehot.dtype)) > 0.5
+    R9 = (onehot @ state.opt_R.reshape(total, 9)).reshape(W, 3, 3)
+    t3 = onehot @ state.opt_t  # [W, 3]
+
+    # per-coordinate SE3 transform (exact f32; same direct form as the hot
+    # K=3 distance computations — see CLAUDE.md precision note)
+    def row(i):
+        return (
+            R9[:, i, 0, None] * xs
+            + R9[:, i, 1, None] * ys
+            + R9[:, i, 2, None] * zs
+            + t3[:, i, None]
+        )
+
+    flat = jnp.stack([row(0), row(1), row(2)], axis=-1).reshape(-1, 3)
     flat_mask = mask.reshape(-1)
     # Pad to the full submap_capacity: W rarely divides it, and a
     # W*per-point cloud (e.g. 51*160 = 8160) misses the power-of-two tile
@@ -486,6 +514,7 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
             max_iters=cfg.loop.icp_iterations,
             max_corr_dist=cfg.loop.icp_max_corr_dist,
             tol=cfg.loop.icp_tol,
+            coarse_factor=cfg.loop.icp_coarse_factor,
         )
         corrected = se3.compose(icp_res.pose, init_pose)
         return icp_res.fitness, corrected.R, corrected.t
@@ -727,6 +756,7 @@ def _ingest_and_detect_batch(
             max_iters=cfg.loop.icp_iterations,
             max_corr_dist=cfg.loop.icp_max_corr_dist,
             tol=cfg.loop.icp_tol,
+            coarse_factor=cfg.loop.icp_coarse_factor,
         )
         corrected = se3.compose(res.pose, inits)
         return res.fitness, corrected.R, corrected.t

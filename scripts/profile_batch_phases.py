@@ -79,30 +79,31 @@ prep = jax.jit(
 )
 smalls, descs = timed("phase0 vmap prep", prep, xs, masks)
 
-# phase 1: scan ingest + retrieval
+# phase 1: block ingest + batched retrieval (current vectorized path)
 def p1(st, smalls, descs):
-    def one(s, inp):
-        pR, pt, sx, sm, d, t = inp
-        s, _ = M._ingest_prepared(
-            s, robot, se3.Pose(pR, pt), pc.Cloud(sx, sm), d, t, cfg)
-        out = M._retrieve_intra(s, robot, cfg)
-        return s, out
-    return jax.lax.scan(
-        one, st, (pose_R, pose_t, smalls.xyz, smalls.mask, descs, stamps))
+    st, slots, q_idxs = M._ingest_prepared_block(
+        st, robot, se3.Pose(pose_R, pose_t), smalls, descs, stamps, cfg)
+    fam = registry.get_family(cfg)
+
+    def retrieve(desc, q_idx, slot):
+        match = fam.query(st.desc_db, desc, robot, q_idx, mode="intra")
+        attempt = match.found & (st.loop_target[slot] < 0)
+        return match.index, match.yaw, attempt, jnp.where(
+            attempt, match.db_pos, slot)
+
+    m_idxs, yaws, attempts, match_slots = jax.vmap(retrieve)(
+        descs, q_idxs, slots)
+    return st, (slots, q_idxs, m_idxs, yaws, attempts, match_slots)
 
 p1j = jax.jit(p1)
-st1, retr = timed("phase1 scan ingest+retrieve", p1j, state, smalls, descs)
+st1, retr = timed("phase1 block ingest+retrieve", p1j, state, smalls, descs)
 
-# phase 1 split: ingest-only scan
+# phase 1 split: block ingest only
 def p1a(st, smalls, descs):
-    def one(s, inp):
-        pR, pt, sx, sm, d, t = inp
-        s, _ = M._ingest_prepared(
-            s, robot, se3.Pose(pR, pt), pc.Cloud(sx, sm), d, t, cfg)
-        return s, ()
-    return jax.lax.scan(
-        one, st, (pose_R, pose_t, smalls.xyz, smalls.mask, descs, stamps))
-timed("phase1a scan ingest only", jax.jit(p1a), state, smalls, descs)
+    st, slots, q_idxs = M._ingest_prepared_block(
+        st, robot, se3.Pose(pose_R, pose_t), smalls, descs, stamps, cfg)
+    return st, slots
+timed("phase1a block ingest only", jax.jit(p1a), state, smalls, descs)
 
 # phase 2: gather + batched ICP on all-active lanes
 slots, q_idxs, m_idxs, yaws, attempts, match_slots = retr
@@ -119,7 +120,8 @@ def p2(st, slots, match_slots, yaws, counts_hist):
         src_world, tgt, se3.identity((B,), dtype=st.opt_t.dtype),
         jnp.ones((B,), bool),
         max_iters=cfg.loop.icp_iterations,
-        max_corr_dist=cfg.loop.icp_max_corr_dist, tol=cfg.loop.icp_tol)
+        max_corr_dist=cfg.loop.icp_max_corr_dist, tol=cfg.loop.icp_tol,
+        coarse_factor=cfg.loop.icp_coarse_factor)
     return res.fitness
 
 timed("phase2 gather+ICP (all active)", jax.jit(p2),
