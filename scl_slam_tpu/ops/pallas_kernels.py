@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -311,3 +312,198 @@ def nearest_neighbors_pallas(
         interpret=interpret,
     )(qH, tH)
     return d[0], idx[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused separable max-binning (Scan Context image construction)
+# ---------------------------------------------------------------------------
+
+# Multi-pass quantized max: per pass each point's value is quantized to
+# MB_K levels of its bin's current refinement window and encoded as the
+# exact power of two 2^(MB_KBITS * level). The per-bin reduction is then a
+# SUM, which separates over the (ring, sector) key into one MXU matmul per
+# point block: (ring_onehot * v) @ sector_onehot. Because every encoded
+# value is a power of two spaced MB_KBITS apart and a bin rarely exceeds
+# 2^MB_KBITS points, the top occupied level is read back exactly as
+# floor(log2(sum) / MB_KBITS); the window then refines by 1/MB_K per pass.
+# Four passes over a 64 m span land within ~10 mm of the true maximum —
+# far below any descriptor-distance relevance.
+#
+# Status: measured SLOWER than the dense-compare binning at Scan Context
+# shapes (6.1 vs 4.4 ms per 16 vmapped frames at 64k pts / 20x60 bins,
+# scripts/profile_maxbin.py) — the sequential grid pays ~12 us/step over
+# 4 passes x 8 blocks x 16 frames, while the dense compare fuses into a
+# handful of big VPU ops within ~2x of speed-of-light. NOT wired into
+# scan_context. Kept because the cost model scales with (R + S + levels)
+# instead of R*S: at LiDAR-Iris bin counts (80x360 = 28800 bins, where the
+# dense form is 24x more VPU work and the current fallback is a serial
+# scatter) this becomes the right tool; it needs MB_RPAD/MB_SPAD widening
+# and sector tiling first.
+#
+# It was designed to replace the dense-compare binning in ops.pointcloud
+# (scatter_max_image): comparing every point against all 1200 bins is
+# ~3600 VPU ops/point, the largest single cost of keyframe ingestion
+# (~5 ms per 16-frame macro-batch). Here the per-point work is ~100 VPU
+# ops across all passes and the heavy contraction rides the MXU, with the
+# one-hots built in VMEM (never materialized to HBM).
+MB_T = 8192      # points per block (large: per-grid-step overhead dominates
+                 # small blocks — same lesson as pick_target_tile above)
+MB_K = 9         # levels per pass
+MB_KBITS = 13    # exponent spacing: 8*13+13 = 117 < 126 stays in f32 range;
+                 # the level readout floor((log2(sum)+1e-3)/13) is exact
+                 # while log2(count/level) + 1e-3 < 13 (conservatively:
+                 # < 2^12 points per level); beyond that it carries and
+                 # overshoots ~one slot/pass (graceful)
+MB_PASSES = 4    # final slot = span / 9^4 (~10 mm at span 64)
+MB_RPAD = 32     # rings padded to sublane multiple (num_rings <= 32)
+MB_SPAD = 128    # sectors padded to lane width (num_sectors <= 128)
+
+
+def _max_image_kernel(
+    pts_ref, out_ref, s_acc, base, occ, *,
+    num_rings: int, num_sectors: int, span: float, nb: int,
+):
+    """Grid (MB_PASSES, nb). pts_ref [4, MB_T] rows = (value, ring, sector,
+    valid); out_ref [MB_RPAD, MB_SPAD]; scratch s_acc/base/occ same shape."""
+    p = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((p == 0) & (j == 0))
+    def _():
+        base[:, :] = jnp.zeros_like(base)
+        occ[:, :] = jnp.zeros_like(occ)
+
+    @pl.when(j == 0)
+    def _():
+        s_acc[:, :] = jnp.zeros_like(s_acc)
+
+    blk = pts_ref[:]
+    val = blk[0:1, :]                                   # [1, T]
+    rg = blk[1:2, :]
+    sc = blk[2:3, :]
+    vd = blk[3:4, :]
+
+    # pass width: w_p = span / MB_K^(p+1); consistent across blocks of a
+    # pass by construction (same p), which is all correctness needs
+    # Mosaic has no powf; exp2 of a scaled exponent is legal and fp-drift
+    # across passes is harmless (only within-pass consistency matters)
+    w = span * jnp.exp2(
+        -(p + 1).astype(jnp.float32) * jnp.float32(np.log2(MB_K))
+    )
+
+    ring1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (MB_RPAD, MB_T), 0)
+        == rg.astype(jnp.int32)
+    ).astype(jnp.float32)                               # [R', T]
+    sec1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (MB_T, MB_SPAD), 1)
+        == sc.astype(jnp.int32).reshape(MB_T, 1)
+    ).astype(jnp.float32)                               # [T, S']
+
+    # per-point window base: two exact one-hot contractions (each output
+    # sums a single nonzero term, so HIGHEST precision reconstructs f32)
+    m1 = jax.lax.dot_general(
+        base[:, :], sec1,
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                   # [R', T]
+    b_pt = jnp.sum(ring1 * m1, axis=0, keepdims=True)   # [1, T]
+
+    q = jnp.clip(jnp.floor((val - b_pt) / w), 0.0, float(MB_K - 1))
+    v = jnp.exp2(jnp.float32(MB_KBITS) * q)             # exact powers of 2
+    a = ring1 * jnp.where(vd > 0.5, v, 0.0)             # [R', T]
+
+    # powers of two and 0/1 one-hots are exact in bf16: one MXU pass
+    s_blk = jax.lax.dot_general(
+        a, sec1,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )                                                   # [R', S']
+    s_acc[:, :] = s_acc[:, :] + s_blk
+
+    @pl.when(j == nb - 1)
+    def _():
+        sm = s_acc[:, :]
+        hit = sm > 0.0
+
+        @pl.when(p == 0)
+        def _():
+            occ[:, :] = hit.astype(jnp.float32)
+
+        lvl = jnp.where(
+            hit,
+            jnp.floor(
+                (jnp.log2(jnp.maximum(sm, 1e-30)) + 1e-3)
+                / jnp.float32(MB_KBITS)
+            ),
+            0.0,
+        )
+        base[:, :] = base[:, :] + lvl * w
+
+        @pl.when(p == MB_PASSES - 1)
+        def _():
+            out_ref[:, :] = jnp.where(occ[:, :] > 0.5, base[:, :], 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_rings", "num_sectors", "span", "interpret")
+)
+def max_image_pallas(
+    values: jax.Array,
+    ring: jax.Array,
+    sector: jax.Array,
+    valid: jax.Array,
+    num_rings: int,
+    num_sectors: int,
+    span: float = 64.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bin-wise max image [num_rings, num_sectors] from per-point values.
+
+    Quantized to span / MB_K^MB_PASSES (~10 mm at span 64) BELOW the true
+    maximum; empty bins (and bins whose points are all negative) read 0,
+    matching ops.pointcloud.scatter_max_image(init=0.0). Values above
+    ``span`` clamp to the top slot. Requires n % MB_T == 0,
+    num_rings <= MB_RPAD, num_sectors <= MB_SPAD.
+    """
+    n = values.shape[0]
+    assert n % MB_T == 0 and num_rings <= MB_RPAD and num_sectors <= MB_SPAD
+    pts = jnp.stack(
+        [
+            values.astype(jnp.float32),
+            ring.astype(jnp.float32),
+            sector.astype(jnp.float32),
+            valid.astype(jnp.float32),
+        ],
+        axis=0,
+    )                                                   # [4, n]
+    nb = n // MB_T
+    img = pl.pallas_call(
+        functools.partial(
+            _max_image_kernel,
+            num_rings=num_rings, num_sectors=num_sectors,
+            span=span, nb=nb,
+        ),
+        grid=(MB_PASSES, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (4, MB_T), lambda p, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (MB_RPAD, MB_SPAD), lambda p, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((MB_RPAD, MB_SPAD), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((MB_RPAD, MB_SPAD), jnp.float32),
+            pltpu.VMEM((MB_RPAD, MB_SPAD), jnp.float32),
+            pltpu.VMEM((MB_RPAD, MB_SPAD), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pts)
+    return img[:num_rings, :num_sectors]

@@ -159,3 +159,47 @@ class TestNNSelectPallas:
                 # inactive lane: untouched init values
                 assert np.all(np.isinf(np.asarray(d[b])))
                 np.testing.assert_array_equal(np.asarray(sel[b]), 0.0)
+
+
+class TestMaxImagePallas:
+    """Separable multi-pass max-binning kernel (not wired into Scan Context
+    — slower at 20x60 bins, see pallas_kernels.py status note — but kept
+    correct for high-bin-count descriptors)."""
+
+    def test_matches_scatter_max_within_slot(self):
+        import numpy as np
+
+        from scl_slam_tpu.ops import pallas_kernels as pk
+        from scl_slam_tpu.ops.pointcloud import scatter_max_image
+
+        rng = np.random.RandomState(0)
+        n, R, S = pk.MB_T * 2, 20, 60
+        ring = jnp.asarray(rng.randint(0, R, n).astype(np.int32))
+        sector = jnp.asarray(rng.randint(0, S, n).astype(np.int32))
+        z = jnp.asarray(rng.uniform(-2, 40, n).astype(np.float32))
+        valid = jnp.asarray(rng.rand(n) > 0.1)
+        ref = scatter_max_image(z, ring, sector, valid, R, S, init=0.0)
+        img = pk.max_image_pallas(
+            z, ring, sector, valid, R, S, span=64.0, interpret=True
+        )
+        err = np.asarray(ref - img)
+        slot = 64.0 / pk.MB_K**pk.MB_PASSES
+        assert (np.asarray(img) <= np.asarray(ref) + 1e-5).all()
+        assert err.max() < slot + 1e-5
+
+    def test_degenerate_single_bin(self):
+        import numpy as np
+
+        from scl_slam_tpu.ops import pallas_kernels as pk
+
+        n = pk.MB_T
+        z = jnp.full((n,), 7.321, jnp.float32)
+        zero = jnp.zeros((n,), jnp.int32)
+        # ~2^MB_KBITS equal-level points in one bin carry the sum readout
+        # up a level (documented graceful overshoot) — stay well below
+        valid = jnp.arange(n) < 4096
+        img = np.asarray(pk.max_image_pallas(
+            z, zero, zero, valid, 20, 60, interpret=True
+        ))
+        assert abs(img[0, 0] - 7.321) < 64.0 / pk.MB_K**pk.MB_PASSES + 1e-5
+        assert np.abs(img).sum() == img[0, 0]
