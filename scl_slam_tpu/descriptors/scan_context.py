@@ -60,11 +60,12 @@ def make(cloud: Cloud, cfg: ScanContextConfig) -> ScanContext:
     z = cloud.xyz[..., 2] + cfg.lidar_height
     # dense-compare binning (ops.pointcloud.scatter_max_image). A fused
     # separable Pallas alternative exists (pallas_kernels.max_image_pallas)
-    # but measured SLOWER at 20x60 bins (6.1 vs 4.4 ms per 16-frame batch,
-    # scripts/profile_maxbin.py): its sequential grid pays ~12 us/step x
-    # 512 steps, while the dense compare is within ~2x of VPU speed of
-    # light here. The separable scheme scales with R+S+levels instead of
-    # R*S, so it becomes the right tool at Iris-scale bin counts (80x360).
+    # but measured SLOWER at 20x60 bins even after restructuring to one
+    # grid step per frame (8.1-9.0 vs 5.8-6.5 ms per 16-frame batch,
+    # scripts/profile_maxbin.py on real v5e): the dense compare is within
+    # ~2x of VPU speed of light here. The separable scheme scales with
+    # R+S+passes instead of R*S, so it becomes the right tool at
+    # Iris-scale bin counts (80x360).
     img = scatter_max_image(
         z, ring, sector, valid, cfg.num_rings, cfg.num_sectors, init=0.0
     )

@@ -21,7 +21,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -329,23 +328,23 @@ def nearest_neighbors_pallas(
 # Four passes over a 64 m span land within ~10 mm of the true maximum —
 # far below any descriptor-distance relevance.
 #
-# Status: measured SLOWER than the dense-compare binning at Scan Context
-# shapes (6.1 vs 4.4 ms per 16 vmapped frames at 64k pts / 20x60 bins,
-# scripts/profile_maxbin.py) — the sequential grid pays ~12 us/step over
-# 4 passes x 8 blocks x 16 frames, while the dense compare fuses into a
-# handful of big VPU ops within ~2x of speed-of-light. NOT wired into
-# scan_context. Kept because the cost model scales with (R + S + levels)
-# instead of R*S: at LiDAR-Iris bin counts (80x360 = 28800 bins, where the
-# dense form is 24x more VPU work and the current fallback is a serial
-# scatter) this becomes the right tool; it needs MB_RPAD/MB_SPAD widening
-# and sector tiling first.
-#
-# It was designed to replace the dense-compare binning in ops.pointcloud
-# (scatter_max_image): comparing every point against all 1200 bins is
-# ~3600 VPU ops/point, the largest single cost of keyframe ingestion
-# (~5 ms per 16-frame macro-batch). Here the per-point work is ~100 VPU
-# ops across all passes and the heavy contraction rides the MXU, with the
-# one-hots built in VMEM (never materialized to HBM).
+# Status: NOT wired into scan_context — measured SLOWER than the
+# dense-compare binning (ops.pointcloud.scatter_max_image) at Scan
+# Context shapes even after restructuring (scripts/profile_maxbin.py,
+# real v5e): 8.1-9.0 ms vs 5.8-6.5 ms per 16 vmapped frames at 64k pts /
+# 20x60 bins. A first version ran the (pass, block) loops as a 512-step
+# sequential grid and lost on the ~12 us/grid-step floor (6.1 vs
+# 4.4 ms); this version is one grid step per frame — passes unrolled,
+# blocks via fori_loop, whole frame resident in VMEM (~2 MB << 16 MB),
+# the per-point window-base gather as 2 MXU passes (exact bf16 hi/lo
+# split of the base image) instead of 6 (precision=HIGHEST) — and still
+# loses: at R*S=1200 the dense compare's big fused VPU ops are within
+# ~2x of speed of light and the MXU one-hot contractions (T x R' and
+# T x S' one-hot builds + [R',T]x[T,S'] matmuls, 4 passes) cost more
+# than they save. Kept because the cost model scales with (R + S +
+# passes) instead of R*S: at LiDAR-Iris bin counts (80x360 = 28800
+# bins, 24x more VPU work for the dense form) this becomes the right
+# tool; it needs MB_RPAD/MB_SPAD widening + sector tiling first.
 MB_T = 8192      # points per block (large: per-grid-step overhead dominates
                  # small blocks — same lesson as pick_target_tile above)
 MB_K = 9         # levels per pass
@@ -359,79 +358,70 @@ MB_RPAD = 32     # rings padded to sublane multiple (num_rings <= 32)
 MB_SPAD = 128    # sectors padded to lane width (num_sectors <= 128)
 
 
-def _max_image_kernel(
-    pts_ref, out_ref, s_acc, base, occ, *,
-    num_rings: int, num_sectors: int, span: float, nb: int,
-):
-    """Grid (MB_PASSES, nb). pts_ref [4, MB_T] rows = (value, ring, sector,
-    valid); out_ref [MB_RPAD, MB_SPAD]; scratch s_acc/base/occ same shape."""
-    p = pl.program_id(0)
-    j = pl.program_id(1)
+def _max_image_kernel(pts_ref, out_ref, *, span: float, nb: int):
+    """One grid step per frame. pts_ref [nb, 4, MB_T] blocks of (value,
+    ring, sector, valid) rows; out_ref [MB_RPAD, MB_SPAD]."""
+    base = jnp.zeros((MB_RPAD, MB_SPAD), jnp.float32)
+    occ = jnp.zeros((MB_RPAD, MB_SPAD), jnp.float32)
 
-    @pl.when((p == 0) & (j == 0))
-    def _():
-        base[:, :] = jnp.zeros_like(base)
-        occ[:, :] = jnp.zeros_like(occ)
+    for p in range(MB_PASSES):  # unrolled: base/occ carried as values
+        w = jnp.float32(span / MB_K ** (p + 1))
+        # the per-point window-base gather contracts base against the
+        # one-hots on the MXU; each output sums exactly ONE nonzero term,
+        # so all it needs is the VALUE to survive the bf16 operand cast.
+        # Split base into hi (bf16-representable: cast is lossless) + lo
+        # (|lo| < 2^-8 |base|, its own bf16 rounding error < ~2e-4 at
+        # span 64 — far below the final slot): 2 MXU passes, not 6.
+        hi = jax.lax.convert_element_type(
+            jax.lax.convert_element_type(base, jnp.bfloat16), jnp.float32
+        )
+        lo = base - hi
 
-    @pl.when(j == 0)
-    def _():
-        s_acc[:, :] = jnp.zeros_like(s_acc)
+        def body(j, s_acc, hi=hi, lo=lo, w=w):
+            blk = pts_ref[j]                            # [4, MB_T]
+            val = blk[0:1, :]                           # [1, T]
+            rg = blk[1:2, :]
+            sc = blk[2:3, :]
+            vd = blk[3:4, :]
 
-    blk = pts_ref[:]
-    val = blk[0:1, :]                                   # [1, T]
-    rg = blk[1:2, :]
-    sc = blk[2:3, :]
-    vd = blk[3:4, :]
+            ring1 = (
+                jax.lax.broadcasted_iota(jnp.int32, (MB_RPAD, MB_T), 0)
+                == rg.astype(jnp.int32)
+            ).astype(jnp.float32)                       # [R', T]
+            sec1 = (
+                jax.lax.broadcasted_iota(jnp.int32, (MB_T, MB_SPAD), 1)
+                == sc.astype(jnp.int32).reshape(MB_T, 1)
+            ).astype(jnp.float32)                       # [T, S']
 
-    # pass width: w_p = span / MB_K^(p+1); consistent across blocks of a
-    # pass by construction (same p), which is all correctness needs
-    # Mosaic has no powf; exp2 of a scaled exponent is legal and fp-drift
-    # across passes is harmless (only within-pass consistency matters)
-    w = span * jnp.exp2(
-        -(p + 1).astype(jnp.float32) * jnp.float32(np.log2(MB_K))
-    )
+            m1 = jax.lax.dot_general(
+                hi, sec1, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                lo, sec1, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )                                           # [R', T]
+            b_pt = jnp.sum(ring1 * m1, axis=0, keepdims=True)  # [1, T]
 
-    ring1 = (
-        jax.lax.broadcasted_iota(jnp.int32, (MB_RPAD, MB_T), 0)
-        == rg.astype(jnp.int32)
-    ).astype(jnp.float32)                               # [R', T]
-    sec1 = (
-        jax.lax.broadcasted_iota(jnp.int32, (MB_T, MB_SPAD), 1)
-        == sc.astype(jnp.int32).reshape(MB_T, 1)
-    ).astype(jnp.float32)                               # [T, S']
+            q = jnp.clip(jnp.floor((val - b_pt) / w), 0.0, float(MB_K - 1))
+            v = jnp.exp2(jnp.float32(MB_KBITS) * q)     # exact powers of 2
+            a = ring1 * jnp.where(vd > 0.5, v, 0.0)     # [R', T]
 
-    # per-point window base: two exact one-hot contractions (each output
-    # sums a single nonzero term, so HIGHEST precision reconstructs f32)
-    m1 = jax.lax.dot_general(
-        base[:, :], sec1,
-        (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                                   # [R', T]
-    b_pt = jnp.sum(ring1 * m1, axis=0, keepdims=True)   # [1, T]
+            # powers of two and 0/1 one-hots are exact in bf16: 1 MXU pass
+            s_blk = jax.lax.dot_general(
+                a, sec1, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )                                           # [R', S']
+            return s_acc + s_blk
 
-    q = jnp.clip(jnp.floor((val - b_pt) / w), 0.0, float(MB_K - 1))
-    v = jnp.exp2(jnp.float32(MB_KBITS) * q)             # exact powers of 2
-    a = ring1 * jnp.where(vd > 0.5, v, 0.0)             # [R', T]
-
-    # powers of two and 0/1 one-hots are exact in bf16: one MXU pass
-    s_blk = jax.lax.dot_general(
-        a, sec1,
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32,
-    )                                                   # [R', S']
-    s_acc[:, :] = s_acc[:, :] + s_blk
-
-    @pl.when(j == nb - 1)
-    def _():
-        sm = s_acc[:, :]
+        sm = jax.lax.fori_loop(
+            0, nb, body, jnp.zeros((MB_RPAD, MB_SPAD), jnp.float32)
+        )
         hit = sm > 0.0
-
-        @pl.when(p == 0)
-        def _():
-            occ[:, :] = hit.astype(jnp.float32)
-
+        if p == 0:
+            occ = hit.astype(jnp.float32)
         lvl = jnp.where(
             hit,
             jnp.floor(
@@ -440,11 +430,9 @@ def _max_image_kernel(
             ),
             0.0,
         )
-        base[:, :] = base[:, :] + lvl * w
+        base = base + lvl * w
 
-        @pl.when(p == MB_PASSES - 1)
-        def _():
-            out_ref[:, :] = jnp.where(occ[:, :] > 0.5, base[:, :], 0.0)
+    out_ref[:, :] = jnp.where(occ > 0.5, base, 0.0)
 
 
 @functools.partial(
@@ -470,6 +458,7 @@ def max_image_pallas(
     """
     n = values.shape[0]
     assert n % MB_T == 0 and num_rings <= MB_RPAD and num_sectors <= MB_SPAD
+    nb = n // MB_T
     pts = jnp.stack(
         [
             values.astype(jnp.float32),
@@ -478,32 +467,12 @@ def max_image_pallas(
             valid.astype(jnp.float32),
         ],
         axis=0,
-    )                                                   # [4, n]
-    nb = n // MB_T
+    ).reshape(4, nb, MB_T).transpose(1, 0, 2)           # [nb, 4, MB_T]
     img = pl.pallas_call(
-        functools.partial(
-            _max_image_kernel,
-            num_rings=num_rings, num_sectors=num_sectors,
-            span=span, nb=nb,
-        ),
-        grid=(MB_PASSES, nb),
-        in_specs=[
-            pl.BlockSpec(
-                (4, MB_T), lambda p, j: (0, j), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (MB_RPAD, MB_SPAD), lambda p, j: (0, 0), memory_space=pltpu.VMEM
-        ),
+        functools.partial(_max_image_kernel, span=span, nb=nb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((MB_RPAD, MB_SPAD), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((MB_RPAD, MB_SPAD), jnp.float32),
-            pltpu.VMEM((MB_RPAD, MB_SPAD), jnp.float32),
-            pltpu.VMEM((MB_RPAD, MB_SPAD), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
         interpret=interpret,
     )(pts)
     return img[:num_rings, :num_sectors]
