@@ -6,8 +6,9 @@ Prints ONE JSON line:
 Headline metric: **keyframe pipeline frames/s** — full per-keyframe work
 (descriptor build + DB insert + retrieval + shifted-distance verification +
 submap ICP + queue/optimize bookkeeping) on synthetic KITTI-scale inputs,
-processed in macro-batches of 16 keyframes per device program (the dataset-
-replay mode, directly comparable to the reference's rosbag-replay workload).
+processed as scanned chunks of 6x32 keyframes per device program (the
+Mapper.replay dataset-replay mode, directly comparable to the reference's
+rosbag-replay workload).
 
 Baseline: the reference (thisparticle/scl_slam) targets real-time operation on
 a 4-core onboard CPU at sensor rate (10 Hz frames; see BASELINE.md — the repo
@@ -34,7 +35,7 @@ def main():
         SlamConfig,
     )
     from scl_slam_tpu.geometry import se3
-    from scl_slam_tpu.runtime.mapper import _ingest_and_detect_batch
+    from scl_slam_tpu.runtime.mapper import _replay_batches
     from scl_slam_tpu.runtime.state import make_state
 
     cfg = SlamConfig(
@@ -61,36 +62,51 @@ def main():
             [r * np.cos(theta), r * np.sin(theta), z], -1
         ).astype(np.float32)
 
-    B = 16
-    xs = jnp.asarray(np.stack([scan(k) for k in range(B)]))
-    masks = jnp.ones((B, 65536), bool)
-    pose_R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
-    pose_t = jnp.stack([jnp.array([1.0 * k, 0.0, 0.0]) for k in range(B)])
-    stamps = jnp.zeros(B)
+    # B=32 macro-batches, R=6 of them scanned inside ONE device program
+    # per dispatch (Mapper.replay's _replay_batches): B=32 measured the
+    # lane-count sweet spot (scripts/profile_bench_B.py: 16/32/64 ->
+    # 1013/1204/976 frames/s) and the scan amortizes the tunneled
+    # runtime's ~1-3 ms per-dispatch floor (scripts/profile_floor.py)
+    # over 192 frames.
+    B, R = 32, 6
+    xs = jnp.asarray(
+        np.stack([scan(k) for k in range(R * B)]).reshape(R, B, 65536, 3)
+    )
+    masks = jnp.ones((R, B, 65536), bool)
+    pose_R = jnp.broadcast_to(jnp.eye(3), (R, B, 3, 3))
+    pose_t = jnp.asarray(
+        np.stack(
+            [[1.0 * (i * B + k), 0.0, 0.0] for i in range(R) for k in range(B)]
+        ).reshape(R, B, 3),
+        jnp.float32,
+    )
+    stamps = jnp.zeros((R, B))
 
-    def batch_step(state):
-        return _ingest_and_detect_batch(
+    def chunk_step(state):
+        return _replay_batches(
             state, jnp.array(0), se3.Pose(pose_R, pose_t), xs, masks, stamps, cfg
         )
 
-    # warm up (compile)
-    out = batch_step(state)
+    # warm up (compile) on a throwaway state
+    out = chunk_step(state)
     jax.block_until_ready(out)
     _ = np.asarray(out[3])  # host copy: forces true completion on the relay
-    state = out[0]
 
-    # steady-state timing; end with a host copy of a small output —
-    # block_until_ready alone has been observed to return before the full
-    # program finishes on the tunneled runtime, which silently inflates
-    # throughput numbers (see CLAUDE.md)
-    n_rep = 12
+    # timed: replay 192 frames into an empty DB, 3 times (fresh state each,
+    # pre-made outside the timed region). Within each chunk the later scan
+    # steps retrieve+verify against the earlier frames, so the ICP branch
+    # contributes (~same loop mix as the per-sequence replay workload).
+    # End with a host copy of a small output — block_until_ready alone has
+    # been observed to return before the full program finishes on the
+    # tunneled runtime, which silently inflates throughput (see CLAUDE.md)
+    n_rep = 3
+    states = [make_state(cfg) for _ in range(n_rep)]
+    jax.block_until_ready(states)
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = batch_step(state)
-        state = out[0]
-    _ = np.asarray(out[3])
+    outs = [chunk_step(states[i]) for i in range(n_rep)]
+    _ = [np.asarray(o[3]) for o in outs]
     dt = time.perf_counter() - t0
-    fps = n_rep * B / dt
+    fps = n_rep * R * B / dt
 
     baseline_fps = 10.0  # reference operating point: sensor-rate on 4-core CPU
     print(

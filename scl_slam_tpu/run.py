@@ -46,6 +46,10 @@ def build_argparser():
                    "batched Mapper.add_frames path, B frames per device "
                    "program (requires --odometry gt; 0 = sequential "
                    "add_frame, the live mode)")
+    p.add_argument("--replay-chunks", type=int, default=0, metavar="R",
+                   help="with --batch B: scan R macro-batches inside ONE "
+                   "device program per chunk (Mapper.replay) — amortizes "
+                   "the per-dispatch cost; 0 = one program per batch")
     return p
 
 
@@ -68,24 +72,36 @@ def _run_batched(args, mapper, n, get_scan, get_odom, gt_of, tio, se3, jnp):
             jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
         )
 
-    k = 0
-    while k + B <= n:
-        frames = list(range(k, k + B))
-        out = mapper.add_frames(
+    if args.replay_chunks > 0:
+        frames = list(range(n))
+        out = mapper.replay(
             [pose_of(i) for i in frames],
             [get_scan(i) for i in frames],
             stamps=[0.1 * i for i in frames],
+            batch=B,
+            chunk_batches=args.replay_chunks,
         )
         kf_frames.extend(i for i, a in zip(frames, out["accepted"]) if a)
         n_loops += sum(1 for l in out["loops"] if l)
-        mapper.spin_once()
-        k += B
-    for i in range(k, n):
-        wire = mapper.add_frame(pose_of(i), get_scan(i), stamp=0.1 * i)
-        if wire is not None:
-            kf_frames.append(i)
-            if mapper.spin_once().get("loop"):
-                n_loops += 1
+    else:
+        k = 0
+        while k + B <= n:
+            frames = list(range(k, k + B))
+            out = mapper.add_frames(
+                [pose_of(i) for i in frames],
+                [get_scan(i) for i in frames],
+                stamps=[0.1 * i for i in frames],
+            )
+            kf_frames.extend(i for i, a in zip(frames, out["accepted"]) if a)
+            n_loops += sum(1 for l in out["loops"] if l)
+            mapper.spin_once()
+            k += B
+        for i in range(k, n):
+            wire = mapper.add_frame(pose_of(i), get_scan(i), stamp=0.1 * i)
+            if wire is not None:
+                kf_frames.append(i)
+                if mapper.spin_once().get("loop"):
+                    n_loops += 1
     mapper.optimize()
     wall = time.perf_counter() - t_start
 

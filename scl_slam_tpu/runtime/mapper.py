@@ -672,8 +672,7 @@ def _ingest_prepared_block(
     return state, slots, idxs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _ingest_and_detect_batch(
+def _batch_body(
     state: MapperState,
     robot: jax.Array,
     poses: se3.Pose,      # [B] batched keyframe poses
@@ -781,6 +780,50 @@ def _ingest_and_detect_batch(
         corr_R, corr_t, cfg,
     )
     return state, oks, m_idxs, fits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _ingest_and_detect_batch(state, robot, poses, xyz, mask, stamps, cfg):
+    """Jitted single-macro-batch entry point (see :func:`_batch_body`)."""
+    return _batch_body(state, robot, poses, xyz, mask, stamps, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _replay_batches(
+    state: MapperState,
+    robot: jax.Array,
+    poses: se3.Pose,      # leaves [R, B, ...]
+    xyz: jax.Array,       # [R, B, N, 3]
+    mask: jax.Array,      # [R, B, N]
+    stamps: jax.Array,    # [R, B]
+    cfg: SlamConfig,
+):
+    """R macro-batches in ONE device program: ``lax.scan`` over the batch
+
+    step. Semantically identical to R sequential
+    :func:`_ingest_and_detect_batch` calls (scan threads the state, and the
+    batch step is already exactly the sequential per-frame semantics).
+
+    Why it exists: the tunneled single-chip runtime pays a per-DISPATCH
+    floor of ~1-3 ms even when calls are pipelined (and ~40 ms for a
+    host round trip — scripts/profile_floor.py); replaying a dataset as
+    one scanned program pays the dispatch cost once per R batches instead
+    of once per batch. Offline-replay analog of the reference's rosbag
+    loop (``distributedMapping.cpp`` spin), which has no such mode.
+
+    Returns (state, oks [R*B], match_indices [R*B], fitnesses [R*B]).
+    """
+    def step(st, inp):
+        pR, pt, x, m, s = inp
+        st, oks, idxs, fits = _batch_body(
+            st, robot, se3.Pose(pR, pt), x, m, s, cfg
+        )
+        return st, (oks, idxs, fits)
+
+    state, (oks, idxs, fits) = jax.lax.scan(
+        step, state, (poses.R, poses.t, xyz, mask, stamps)
+    )
+    return state, oks.reshape(-1), idxs.reshape(-1), fits.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -1193,7 +1236,9 @@ class Mapper:
         path — call :meth:`spin_once` / :meth:`optimize` to drain.
 
         Each distinct accepted-batch size compiles a new program: replay
-        callers should chunk at a fixed batch size (bench.py uses 16).
+        callers should chunk at a fixed batch size, or use :meth:`replay`,
+        which also amortizes per-dispatch cost across whole chunks of
+        batches (bench.py uses replay's scanned 6x32 chunks).
 
         poses: sequence of ``se3.Pose``; scans: sequence of [Ni, 3] arrays;
         stamps: optional sequence of floats. Returns ``{"accepted": [bool
@@ -1213,16 +1258,7 @@ class Mapper:
                 sel.append(i)
         if not sel:
             return {"accepted": accepted, "loops": [], "keyframes": self._keyframes}
-        K = self.cfg.keyframe.max_keyframes
-        if len(sel) > K:
-            raise ValueError(f"batch of {len(sel)} keyframes exceeds capacity {K}")
-        while int(self.state.counts[self.robot]) + len(sel) > K:
-            before = int(self.state.counts[self.robot])
-            self._compact(self.robot)
-            if int(self.state.counts[self.robot]) >= before:
-                raise RuntimeError(
-                    "eviction could not free capacity for the batch"
-                )
+        self._ensure_capacity(len(sel))
         cap = self.cfg.keyframe.raw_points_capacity
         clouds = [pc.from_points(np.asarray(scans[i]), cap) for i in sel]
         self.state, oks, idxs, fits = _ingest_and_detect_batch(
@@ -1251,6 +1287,107 @@ class Mapper:
         self._pending_intra = loops[-1]
         self._pending_intra_valid = True
         return {"accepted": accepted, "loops": loops, "keyframes": self._keyframes}
+
+    def _ensure_capacity(self, k: int) -> None:
+        """Evict (compact) until k more keyframes fit this robot's block."""
+        K = self.cfg.keyframe.max_keyframes
+        if k > K:
+            raise ValueError(f"batch of {k} keyframes exceeds capacity {K}")
+        while int(self.state.counts[self.robot]) + k > K:
+            before = int(self.state.counts[self.robot])
+            self._compact(self.robot)
+            if int(self.state.counts[self.robot]) >= before:
+                raise RuntimeError(
+                    "eviction could not free capacity for the batch"
+                )
+
+    def replay(
+        self,
+        poses,
+        scans,
+        stamps=None,
+        apply_gate: bool = True,
+        batch: int = 32,
+        chunk_batches: int = 8,
+    ) -> dict:
+        """Whole-dataset replay in as few device programs as possible.
+
+        Accepted keyframes are processed ``batch * chunk_batches`` at a time
+        through ONE scanned device program per chunk
+        (:func:`_replay_batches`); the remainder goes through
+        :meth:`add_frames`. Results are identical to frame-by-frame
+        :meth:`add_frame` — this only changes dispatch granularity, which
+        matters because each device program costs ~1-3 ms of host dispatch
+        on top of its device time (scripts/profile_floor.py).
+
+        Same return contract as :meth:`add_frames`. Two program shapes are
+        compiled on first use (the [chunk_batches, batch] scan and, if the
+        sequence length requires it, one remainder batch).
+        """
+        n = len(scans)
+        if stamps is None:
+            stamps = [0.0] * n
+        accepted, sel = [], []
+        for i in range(n):
+            self._frames_seen += 1
+            take = (not apply_gate) or self.should_add_keyframe(poses[i])
+            accepted.append(take)
+            if take:
+                self._last_kf_pose = poses[i]
+                sel.append(i)
+        if not sel:
+            return {"accepted": accepted, "loops": [], "keyframes": self._keyframes}
+        B, R = batch, chunk_batches
+        chunk = B * R
+        cap = self.cfg.keyframe.raw_points_capacity
+        loops: list = []
+        pos = 0
+        while len(sel) - pos >= chunk:
+            idx = sel[pos : pos + chunk]
+            self._ensure_capacity(chunk)
+            clouds = [pc.from_points(np.asarray(scans[i]), cap) for i in idx]
+            self.state, oks, idxs, fits = _replay_batches(
+                self.state,
+                jnp.array(self.robot),
+                se3.Pose(
+                    jnp.stack([poses[i].R for i in idx]).reshape(R, B, 3, 3),
+                    jnp.stack([poses[i].t for i in idx]).reshape(R, B, 3),
+                ),
+                jnp.stack([c.xyz for c in clouds]).reshape(R, B, cap, 3),
+                jnp.stack([c.mask for c in clouds]).reshape(R, B, cap),
+                jnp.asarray(
+                    [stamps[i] for i in idx], jnp.float32
+                ).reshape(R, B),
+                self.cfg,
+            )
+            self._keyframes += chunk
+            oks_h, idxs_h, fits_h = (
+                np.asarray(oks), np.asarray(idxs), np.asarray(fits),
+            )
+            loops.extend(
+                {"matched_index": int(idxs_h[b]), "fitness": float(fits_h[b])}
+                if bool(oks_h[b])
+                else None
+                for b in range(chunk)
+            )
+            self._pending_intra = loops[-1]
+            self._pending_intra_valid = True
+            pos += chunk
+        if pos < len(sel):
+            rem = sel[pos:]
+            # counted above — hand the pre-gated remainder to add_frames
+            # without re-counting
+            self._frames_seen -= len(rem)
+            out = self.add_frames(
+                [poses[i] for i in rem],
+                [scans[i] for i in rem],
+                [stamps[i] for i in rem],
+                apply_gate=False,
+            )
+            loops.extend(out["loops"])
+        return {
+            "accepted": accepted, "loops": loops, "keyframes": self._keyframes
+        }
 
     def ingest_peer_descriptor(
         self,

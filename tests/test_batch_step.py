@@ -165,3 +165,65 @@ def test_public_add_frames_equals_add_frame():
     m1.optimize()
     m2.optimize()
     np.testing.assert_allclose(m2.trajectory(), m1.trajectory(), atol=5e-3)
+
+
+def test_public_replay_equals_add_frames():
+    """Mapper.replay (scanned chunks of R macro-batches in one program)
+    must produce the same state and loop decisions as Mapper.add_frames,
+    including the non-chunk remainder path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import small_cfg, drifting_odometry
+    from scl_slam_tpu.io import kitti
+    from scl_slam_tpu.runtime.mapper import Mapper
+
+    cfg = small_cfg()
+    world = kitti.SyntheticWorld(
+        seed=3, extent=120.0, n_clusters=80, pts_per_cluster=800
+    )
+    gt = kitti.loop_trajectory(n_frames=44, radius=40.0, revisit=True)
+    odom = drifting_odometry(gt, [0.0] * 6)
+    scans = [
+        np.asarray(world.scan_at(gt[k], max_points=4096, seed=k))
+        for k in range(len(gt))
+    ]
+    stamps = [0.1 * k for k in range(len(gt))]
+
+    m1 = Mapper(cfg)
+    loops1 = []
+    for k0 in range(0, len(gt), 4):
+        out = m1.add_frames(
+            [odom[k] for k in range(k0, k0 + 4)],
+            scans[k0 : k0 + 4],
+            stamps=stamps[k0 : k0 + 4],
+        )
+        loops1.extend(out["loops"])
+
+    # 44 frames = 2 chunks of (B=4 x R=4) + one 12-frame remainder batch
+    m2 = Mapper(cfg)
+    out = m2.replay(odom, scans, stamps=stamps, batch=4, chunk_batches=4)
+    assert all(out["accepted"])
+    assert m2._frames_seen == m1._frames_seen == len(gt)
+    loops2 = out["loops"]
+
+    n1, n2 = int(m1.state.loop_queue.count), int(m2.state.loop_queue.count)
+    assert n1 > 0, "revisit trajectory produced no loops; gate is meaningless"
+    assert n2 == n1
+    np.testing.assert_array_equal(
+        np.asarray(m2.state.loop_queue.i[:n1]),
+        np.asarray(m1.state.loop_queue.i[:n1]),
+    )
+    assert [l is None for l in loops2] == [l is None for l in loops1]
+    for a, b in zip(loops1, loops2):
+        if a is not None:
+            assert a["matched_index"] == b["matched_index"]
+            np.testing.assert_allclose(
+                a["fitness"], b["fitness"], rtol=5e-3, atol=1e-5
+            )
+    assert int(m2.state.counts[0]) == int(m1.state.counts[0])
+    np.testing.assert_allclose(
+        np.asarray(m2.state.opt_t), np.asarray(m1.state.opt_t), atol=5e-3
+    )
+    m1.optimize()
+    m2.optimize()
+    np.testing.assert_allclose(m2.trajectory(), m1.trajectory(), atol=5e-3)
