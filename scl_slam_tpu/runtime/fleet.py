@@ -47,7 +47,8 @@ from .mapper import (
     Mapper,
     _detect_intra,
     _gather_submap,
-    _ingest,
+    _ingest_prepared,
+    _prepare_frame,
     _queue_loop,
     encode_kf,
 )
@@ -142,17 +143,22 @@ def _detect_verify_inter_central(state, robot, key, cfg: SlamConfig):
 def _fleet_step(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
     """Process a batch of keyframes (any mix of robots) in ONE program.
 
-    ``lax.scan`` over the batch: each frame is ingested, then intra- and
-    inter-robot loop closure run for it (ICP/RANSAC under scalar
-    ``lax.cond`` — only taken branches execute, so frames without
-    candidates stay retrieval-bound). Returns the updated state, advanced
-    RNG key, and per-frame event arrays.
+    The DB-independent frame prep (storage downsample + descriptor build —
+    the heavy half of ingestion) is ``vmap``-ed over the whole mixed-robot
+    batch first; the DB-dependent rest runs under ``lax.scan``: each frame
+    is ingested, then intra- and inter-robot loop closure run for it
+    (ICP/RANSAC under scalar ``lax.cond`` — only taken branches execute,
+    so frames without candidates stay retrieval-bound). Returns the
+    updated state, advanced RNG key, and per-frame event arrays.
     """
+    smalls, descs = jax.vmap(lambda x, m: _prepare_frame(x, m, cfg))(
+        xyz, mask
+    )
 
     def one(carry, inp):
         st, k = carry
-        r, pR, pt, x, m, s = inp
-        st, _ = _ingest(st, r, se3.Pose(pR, pt), x, m, s, cfg)
+        r, pR, pt, small, desc, s = inp
+        st, _ = _ingest_prepared(st, r, se3.Pose(pR, pt), small, desc, s, cfg)
         st, ok_i, match_i, fit = _detect_intra(st, r, cfg)
         if cfg.loop.inter_enabled and cfg.number_of_robots > 1:
             k, sub = jax.random.split(k)
@@ -167,7 +173,7 @@ def _fleet_step(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
         return (st, k), (ok_i, match_i.index, fit, ok_x, peer, p_idx, ratio)
 
     (state, key), outs = jax.lax.scan(
-        one, (state, key), (robots, pose_R, pose_t, xyz, mask, stamps)
+        one, (state, key), (robots, pose_R, pose_t, smalls, descs, stamps)
     )
     return state, key, outs
 
