@@ -46,8 +46,60 @@ def load_library():
     lib.loader_next.restype = ctypes.c_int
     lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.sc_images_batch.restype = None
+    lib.sc_images_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
+
+
+def sc_images_batch(
+    xyz: np.ndarray,
+    mask: np.ndarray | None,
+    num_rings: int,
+    num_sectors: int,
+    max_radius: float,
+    lidar_height: float,
+    n_threads: int = 4,
+) -> np.ndarray | None:
+    """Host-side Scan Context images via the native library.
+
+    Input-pipeline descriptor prep: the max-height polar binning is
+    scatter-shaped work (~45% of the device replay chunk as a dense
+    compare); on the host it is one pass over the points, threaded over
+    frames, overlapping the previous chunk's device compute. Semantics
+    mirror descriptors/scan_context.make (reference
+    ``include/descriptor.h:1404-1461``) up to ~1-ulp atan2 boundary
+    assignment; see tests/test_native_loader.py.
+
+    xyz [B, N, 3] float32 (C-contiguous); mask [B, N] bool or None (all
+    valid). Returns [B, num_rings, num_sectors] float32, or None when the
+    native library is unavailable (callers fall back to the device path).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    B, N = xyz.shape[0], xyz.shape[1]
+    out = np.empty((B, num_rings, num_sectors), np.float32)
+    if mask is None:
+        mask_ptr = ctypes.POINTER(ctypes.c_ubyte)()
+    else:
+        mask = np.ascontiguousarray(mask, np.uint8)
+        mask_ptr = mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    lib.sc_images_batch(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask_ptr,
+        B, N, num_rings, num_sectors,
+        float(max_radius), float(lidar_height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(n_threads),
+    )
+    return out
 
 
 class NativeScanLoader:

@@ -10,7 +10,9 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -145,5 +147,116 @@ int loader_capacity(void* handle) {
 }
 
 void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+
+// ---------------------------------------------------------------------------
+// Host-side Scan Context binning (input-pipeline descriptor prep).
+//
+// Max-height polar binning is scatter-shaped work the TPU fundamentally
+// dislikes (no fast scatter; the device path is a dense [bins, block]
+// compare within ~2x of VPU speed of light yet still ~45% of the replay
+// chunk — scl_slam_tpu/ops/pointcloud.py::scatter_max_image). On the host
+// it IS a scatter: one pass over the points, ~60 ns/point/core. This
+// computes descriptors in the data-loading pipeline so they overlap the
+// previous chunk's device compute, the same way the .bin reader above
+// overlaps disk I/O.
+//
+// Semantics mirror ops/pointcloud.py::polar_bins (f32 atan2/sqrt,
+// truncating int casts, clip to [0, bins-1], r < max_radius gate,
+// min_radius = 0) and scatter_max_image(init=0) over z + lidar_height —
+// reference include/descriptor.h:1404-1461. atan2f may differ from XLA's
+// atan2 by ~1 ulp, so a point exactly on a sector boundary can land one
+// bin over; tests bound the resulting image disagreement.
+
+// Branchless polynomial atan on [0, 1]: minimax degree-11 odd polynomial,
+// max error ~2e-7 rad. glibc atan2f is a ~25 ns libm call that blocks
+// SIMD; this form auto-vectorizes. A point within ~2e-7 rad of a sector
+// boundary (probability ~4e-6 per point at 60 sectors) may land one
+// sector over vs the device's atan2 — the same class of boundary drift
+// that already exists between glibc and XLA:TPU atan2 lowerings.
+static inline float atan_poly01(float t) {
+  float t2 = t * t;
+  float p = -0.01172120f;
+  p = p * t2 + 0.05265332f;
+  p = p * t2 + -0.11643287f;
+  p = p * t2 + 0.19354346f;
+  p = p * t2 + -0.33262347f;
+  p = p * t2 + 0.99997726f;
+  return p * t;
+}
+
+static void sc_bin_frames(const float* xyz, const unsigned char* mask,
+                          int64_t b0, int64_t b1, int64_t n,
+                          int num_rings, int num_sectors, float max_radius,
+                          float lidar_height, float* out) {
+  const float kPi = 3.14159274101257324f;       // f32(pi), as jnp.pi casts
+  const float kTwoPi = 6.28318548202514648f;    // f32(2*pi)
+  const float kHalfPi = 1.57079632679489662f;
+  constexpr int64_t kBlock = 4096;
+  std::vector<int32_t> idx(kBlock);
+  std::vector<float> val(kBlock);
+  for (int64_t b = b0; b < b1; ++b) {
+    float* img = out + b * num_rings * num_sectors;
+    std::memset(img, 0, sizeof(float) * num_rings * num_sectors);
+    const float* pts = xyz + b * n * 3;
+    const unsigned char* mk = mask ? mask + b * n : nullptr;
+    for (int64_t q0 = 0; q0 < n; q0 += kBlock) {
+      int64_t m = std::min(kBlock, n - q0);
+      // pass 1: branchless bin/value computation (SIMD-friendly)
+      for (int64_t i = 0; i < m; ++i) {
+        int64_t p = q0 + i;
+        float x = pts[p * 3 + 0];
+        float y = pts[p * 3 + 1];
+        float z = pts[p * 3 + 2];
+        float r = sqrtf(x * x + y * y);
+        // octant-reduced atan2(y, x)
+        float ax = fabsf(x), ay = fabsf(y);
+        float num = fminf(ax, ay), den = fmaxf(fmaxf(ax, ay), 1e-30f);
+        float a = atan_poly01(num / den);
+        a = (ay > ax) ? (kHalfPi - a) : a;
+        a = (x < 0.0f) ? (kPi - a) : a;
+        a = (y < 0.0f) ? -a : a;
+        float frac = (a + kPi) / kTwoPi;
+        int sector = (int)(frac * (float)num_sectors);
+        sector = sector < 0 ? 0 : sector;
+        sector = sector >= num_sectors ? num_sectors - 1 : sector;
+        int ring = (int)(r / max_radius * (float)num_rings);
+        ring = ring < 0 ? 0 : ring;
+        ring = ring >= num_rings ? num_rings - 1 : ring;
+        bool ok = (r < max_radius) && (!mk || mk[p]);
+        idx[i] = ok ? ring * num_sectors + sector : -1;
+        val[i] = z + lidar_height;
+      }
+      // pass 2: scalar scatter-max
+      for (int64_t i = 0; i < m; ++i) {
+        int32_t k = idx[i];
+        if (k >= 0 && val[i] > img[k]) img[k] = val[i];
+      }
+    }
+  }
+}
+
+// Batched Scan Context images: xyz [B, N, 3] f32, mask [B, N] u8 (may be
+// null = all valid), out_images [B, num_rings, num_sectors] f32.
+void sc_images_batch(const float* xyz, const unsigned char* mask,
+                     int64_t batch, int64_t n, int num_rings, int num_sectors,
+                     float max_radius, float lidar_height, float* out_images,
+                     int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > batch) n_threads = (int)batch;
+  if (n_threads == 1) {
+    sc_bin_frames(xyz, mask, 0, batch, n, num_rings, num_sectors,
+                  max_radius, lidar_height, out_images);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (batch + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min<int64_t>(batch, b0 + per);
+    if (b0 >= b1) break;
+    ts.emplace_back(sc_bin_frames, xyz, mask, b0, b1, n, num_rings,
+                    num_sectors, max_radius, lidar_height, out_images);
+  }
+  for (auto& t : ts) t.join();
+}
 
 }  // extern "C"

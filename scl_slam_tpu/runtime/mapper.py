@@ -92,24 +92,29 @@ def _prepare_frame(xyz: jax.Array, mask: jax.Array, cfg: SlamConfig):
     # stored cloud is downsampled to keyframe capacity; the descriptor is
     # built from the RAW scan (max-height binning needs no density
     # control, and subsampling before binning degrades match distances)
+    small = _prepare_cloud(cloud, cfg)
+    fam = registry.get_family(cfg)
+    descriptor = fam.make(cloud)
+    return small, descriptor
+
+
+def _prepare_cloud(cloud: pc.Cloud, cfg: SlamConfig) -> pc.Cloud:
+    """Storage downsample only (the descriptor-free half of
+    :func:`_prepare_frame`)."""
     mode = cfg.keyframe.storage_downsample
     if not cfg.keyframe.fast_voxel:
         mode = "voxel"  # back-compat alias
     if mode == "stride":
-        small = pc.stride_permute_downsample(
+        return pc.stride_permute_downsample(
             cloud, cfg.keyframe.points_per_keyframe
         )
-    elif mode == "voxel_hash":
-        small = pc.voxel_downsample_hash(
+    if mode == "voxel_hash":
+        return pc.voxel_downsample_hash(
             cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
         )
-    else:
-        small = pc.voxel_downsample(
-            cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
-        )
-    fam = registry.get_family(cfg)
-    descriptor = fam.make(cloud)
-    return small, descriptor
+    return pc.voxel_downsample(
+        cloud, cfg.keyframe.descript_leaf_size, cfg.keyframe.points_per_keyframe
+    )
 
 
 def _ingest_prepared(
@@ -705,12 +710,32 @@ def _batch_body(
     gather, and batched ICP lanes freeze at their own convergence point.
     Returns (state, founds [B], match_indices [B], fitnesses [B]).
     """
-    B = xyz.shape[0]
-    count0 = state.counts[robot]
-
     smalls, descriptors = jax.vmap(
         lambda x, m: _prepare_frame(x, m, cfg)
     )(xyz, mask)
+    return _batch_body_prepared(
+        state, robot, poses, smalls, descriptors, stamps, cfg
+    )
+
+
+def _batch_body_prepared(
+    state: MapperState,
+    robot: jax.Array,
+    poses: se3.Pose,
+    smalls,               # Cloud with leaves [B, ...] (storage downsample)
+    descriptors,          # family descriptor pytree with leaves [B, ...]
+    stamps: jax.Array,    # [B]
+    cfg: SlamConfig,
+):
+    """Phases 1-3 of :func:`_batch_body` on pre-built per-frame inputs.
+
+    Split out so replay paths that source descriptors from the host input
+    pipeline (io/native_loader.py::sc_images_batch — C++ binning
+    overlapping the previous chunk's device compute) skip phase 0's
+    device-side descriptor build.
+    """
+    B = stamps.shape[0]
+    count0 = state.counts[robot]
 
     # Phase 1 is fully vectorized: block ingest (one write per state array),
     # then ONE batched retrieval against the post-insert DB. Equivalent to
@@ -822,6 +847,45 @@ def _replay_batches(
 
     state, (oks, idxs, fits) = jax.lax.scan(
         step, state, (poses.R, poses.t, xyz, mask, stamps)
+    )
+    return state, oks.reshape(-1), idxs.reshape(-1), fits.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _replay_batches_wire(
+    state: MapperState,
+    robot: jax.Array,
+    poses: se3.Pose,      # leaves [R, B, ...]
+    xyz: jax.Array,       # [R, B, N, 3]
+    mask: jax.Array,      # [R, B, N]
+    wires: jax.Array,     # [R, B, wire_dim] host-built descriptors
+    stamps: jax.Array,    # [R, B]
+    cfg: SlamConfig,
+):
+    """:func:`_replay_batches` with descriptors from the HOST input
+    pipeline (wire format, reference ``saveDescriptorAndKey``).
+
+    The max-height binning is scatter-shaped work: on device it runs as a
+    dense [bins, block] compare (~45% of a replay chunk); in the C++
+    loader (io/native_loader.py::sc_images_batch) it is one threaded pass
+    over the points that overlaps the PREVIOUS chunk's device compute —
+    the same role the reference's rosbag decode thread plays. The device
+    keeps the storage downsample and everything DB-dependent.
+    """
+    def step(st, inp):
+        pR, pt, x, m, w, s = inp
+        smalls = jax.vmap(lambda xi, mi: _prepare_cloud(pc.Cloud(xi, mi), cfg))(
+            x, m
+        )
+        fam = registry.get_family(cfg)
+        descs = jax.vmap(fam.from_wire)(w)
+        st, oks, idxs, fits = _batch_body_prepared(
+            st, robot, se3.Pose(pR, pt), smalls, descs, s, cfg
+        )
+        return st, (oks, idxs, fits)
+
+    state, (oks, idxs, fits) = jax.lax.scan(
+        step, state, (poses.R, poses.t, xyz, mask, wires, stamps)
     )
     return state, oks.reshape(-1), idxs.reshape(-1), fits.reshape(-1)
 
@@ -1309,6 +1373,7 @@ class Mapper:
         apply_gate: bool = True,
         batch: int = 32,
         chunk_batches: int = 8,
+        host_descriptors: bool = False,
     ) -> dict:
         """Whole-dataset replay in as few device programs as possible.
 
@@ -1319,6 +1384,18 @@ class Mapper:
         :meth:`add_frame` — this only changes dispatch granularity, which
         matters because each device program costs ~1-3 ms of host dispatch
         on top of its device time (scripts/profile_floor.py).
+
+        ``host_descriptors``: build Scan Context descriptors in the C++
+        input pipeline (io/native_loader.py::sc_images_batch) instead of on
+        device — the chunk dispatch is async, so chunk i+1's host binning
+        overlaps chunk i's device compute. Device/host images agree
+        bit-for-bit on the CPU backend up to ~1-ulp atan2 sector-boundary
+        assignment (tests/test_native_loader.py). OPT-IN: on this 4-core
+        box the host pass (~0.5 ms/frame) is no faster than the device's
+        dense-compare binning inside the fused chunk
+        (scripts/profile_replay_host_ab.py: 1525-1604 vs ~1700 frames/s),
+        so it only pays on strong-host/weak-device deployments or when
+        the loader threads are otherwise idle.
 
         Same return contract as :meth:`add_frames`. Two program shapes are
         compiled on first use (the [chunk_batches, batch] scan and, if the
@@ -1337,6 +1414,14 @@ class Mapper:
                 sel.append(i)
         if not sel:
             return {"accepted": accepted, "loops": [], "keyframes": self._keyframes}
+        if host_descriptors:
+            fam = registry.get_family(self.cfg)
+            from ..io import native_loader
+            if fam.name != "scan_context" or native_loader.load_library() is None:
+                raise RuntimeError(
+                    "host_descriptors=True needs the native library and the "
+                    "scan_context descriptor family"
+                )
         B, R = batch, chunk_batches
         chunk = B * R
         cap = self.cfg.keyframe.raw_points_capacity
@@ -1345,21 +1430,41 @@ class Mapper:
         while len(sel) - pos >= chunk:
             idx = sel[pos : pos + chunk]
             self._ensure_capacity(chunk)
-            clouds = [pc.from_points(np.asarray(scans[i]), cap) for i in idx]
-            self.state, oks, idxs, fits = _replay_batches(
-                self.state,
+            # padded host staging (equivalent to pc.from_points per frame)
+            xyz_np = np.full((chunk, cap, 3), pc.PAD_VALUE, np.float32)
+            mask_np = np.zeros((chunk, cap), bool)
+            for j, i in enumerate(idx):
+                s = np.asarray(scans[i], np.float32)
+                m = min(s.shape[0], cap)
+                xyz_np[j, :m] = s[:m]
+                mask_np[j, :m] = True
+            args = (
                 jnp.array(self.robot),
                 se3.Pose(
                     jnp.stack([poses[i].R for i in idx]).reshape(R, B, 3, 3),
                     jnp.stack([poses[i].t for i in idx]).reshape(R, B, 3),
                 ),
-                jnp.stack([c.xyz for c in clouds]).reshape(R, B, cap, 3),
-                jnp.stack([c.mask for c in clouds]).reshape(R, B, cap),
-                jnp.asarray(
-                    [stamps[i] for i in idx], jnp.float32
-                ).reshape(R, B),
-                self.cfg,
+                jnp.asarray(xyz_np).reshape(R, B, cap, 3),
+                jnp.asarray(mask_np).reshape(R, B, cap),
             )
+            stamps_dev = jnp.asarray(
+                [stamps[i] for i in idx], jnp.float32
+            ).reshape(R, B)
+            if host_descriptors:
+                from ..io import native_loader
+                p = self.cfg.scan_context
+                wires = native_loader.sc_images_batch(
+                    xyz_np, mask_np, p.num_rings, p.num_sectors,
+                    p.max_radius, p.lidar_height,
+                )
+                self.state, oks, idxs, fits = _replay_batches_wire(
+                    self.state, *args,
+                    jnp.asarray(wires.reshape(R, B, -1)), stamps_dev, self.cfg,
+                )
+            else:
+                self.state, oks, idxs, fits = _replay_batches(
+                    self.state, *args, stamps_dev, self.cfg,
+                )
             self._keyframes += chunk
             oks_h, idxs_h, fits_h = (
                 np.asarray(oks), np.asarray(idxs), np.asarray(fits),
