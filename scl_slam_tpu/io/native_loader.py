@@ -38,6 +38,14 @@ def load_library():
     if not os.path.exists(_SO_PATH) and not _build():
         return None
     lib = ctypes.CDLL(_SO_PATH)
+    if not hasattr(lib, "sc_images_batch"):
+        # stale .so from before the symbol existed: rebuild once, then
+        # reload; give up (don't break the loader path) if still missing
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_SO_PATH)
+        if not hasattr(lib, "sc_images_batch"):
+            return None
     lib.loader_create.restype = ctypes.c_void_p
     lib.loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,

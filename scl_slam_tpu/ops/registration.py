@@ -145,9 +145,19 @@ def nearest_select(
 # false positives on self-similar scenes) are exactly these lanes, and on
 # TPU each while_loop iteration carries a ~0.3 ms floor of small-kernel
 # launches (Kabsch/compose glue) regardless of NN size, so freezing them
-# early is the single biggest verification-path saving.
+# early is a large verification-path saving.
+#
+# The exit is only armed once the update is already SMALL IN ABSOLUTE
+# TERMS (delta < STALL_ABS_FACTOR * tol): ICP converging linearly at rate
+# rho >= STALL_RATIO (common near partial-overlap attractors, sliding
+# along surfaces) would otherwise be frozen with remaining motion
+# ~ delta * rho / (1 - rho) unresolved — unbounded as rho -> 1. Arming at
+# 100*tol (1e-2 m/rad at the default tol) bounds the abandoned motion to
+# ~0.1 m at rho = 0.9, well under the loop-factor noise floor (fitness
+# gate 0.3 => sigma ~0.55 m), while still cutting the converged tail.
 STALL_RATIO = 0.9
 STALL_PATIENCE = 3
+STALL_ABS_FACTOR = 100.0
 
 
 def _icp_stage(src, smask, payload, init, max_iters, max_corr_dist, tol):
@@ -182,7 +192,8 @@ def _icp_stage(src, smask, payload, init, max_iters, max_corr_dist, tol):
             update.R - jnp.eye(3, dtype=src.dtype)
         )
         stall = jnp.where(delta < STALL_RATIO * prev_delta, 0, stall + 1)
-        done = (delta < tol) | (stall >= STALL_PATIENCE)
+        stall_armed = delta < STALL_ABS_FACTOR * tol
+        done = (delta < tol) | (stall_armed & (stall >= STALL_PATIENCE))
         return (i + 1, new_pose, delta, stall, done)
 
     _, pose, delta, _stall, _done = jax.lax.while_loop(
@@ -318,7 +329,8 @@ def _icp_stage_batched(
             done, stall, jnp.where(ndelta < STALL_RATIO * delta, 0, stall + 1)
         )
         delta = jnp.where(done, delta, ndelta)
-        done = done | (delta < tol) | (stall >= STALL_PATIENCE)
+        stall_armed = delta < STALL_ABS_FACTOR * tol
+        done = done | (delta < tol) | (stall_armed & (stall >= STALL_PATIENCE))
         return (i + 1, R, t, delta, stall, done)
 
     _, R, t, delta, _stall, done = jax.lax.while_loop(

@@ -741,10 +741,13 @@ def _batch_body_prepared(
     # then ONE batched retrieval against the post-insert DB. Equivalent to
     # sequential per-frame retrieval because the intra candidate mask is
     # strictly one-sided in the protocol index
-    # (descriptors/base.py::candidate_mask: index < q_idx - exclude_recent),
-    # so batch-mates — which all carry LARGER-or-equal indices than any
-    # frame's own exclusion horizon — can never be candidates for each
-    # other, inserted or not.
+    # (descriptors/base.py::candidate_mask: index < q_idx - exclude_recent):
+    # post-insert retrieval can only ADD the later batch-mates to the DB,
+    # and those are all masked out for frame k (their indices are >= k's
+    # exclusion horizon). EARLIER batch-mates (legal candidates when
+    # B > exclude_recent) are present in both orderings — the sequential
+    # path inserts before it retrieves, so frame k sees frames < k either
+    # way.
     state, slots, q_idxs = _ingest_prepared_block(
         state, robot, poses, smalls, descriptors, stamps, cfg
     )
@@ -1323,6 +1326,7 @@ class Mapper:
         if not sel:
             return {"accepted": accepted, "loops": [], "keyframes": self._keyframes}
         self._ensure_capacity(len(sel))
+        self._ensure_queue_headroom(len(sel))
         cap = self.cfg.keyframe.raw_points_capacity
         clouds = [pc.from_points(np.asarray(scans[i]), cap) for i in sel]
         self.state, oks, idxs, fits = _ingest_and_detect_batch(
@@ -1351,6 +1355,18 @@ class Mapper:
         self._pending_intra = loops[-1]
         self._pending_intra_valid = True
         return {"accepted": accepted, "loops": loops, "keyframes": self._keyframes}
+
+    def _ensure_queue_headroom(self, k: int) -> None:
+        """Drain the loop queue when the next ``k`` frames could overflow it.
+
+        A k-frame batch can enqueue up to k loop factors, and enqueue-time
+        overflow drops factors SILENTLY (the capacity check in
+        ``_enqueue_intra_block``); the per-frame add_frame + spin_once
+        cadence would have drained long before — loop-dense replays must
+        not behave differently (KITTI-00-scale revisit sequences exceed
+        queue_capacity=256 without this)."""
+        if int(self.state.loop_queue.count) + k > self.cfg.loop.queue_capacity:
+            self.optimize()
 
     def _ensure_capacity(self, k: int) -> None:
         """Evict (compact) until k more keyframes fit this robot's block."""
@@ -1383,7 +1399,11 @@ class Mapper:
         :meth:`add_frames`. Results are identical to frame-by-frame
         :meth:`add_frame` — this only changes dispatch granularity, which
         matters because each device program costs ~1-3 ms of host dispatch
-        on top of its device time (scripts/profile_floor.py).
+        on top of its device time (scripts/profile_floor.py). The one
+        exception: when a chunk could overflow the loop queue, the queue is
+        drained (optimized) between chunks (:meth:`_ensure_queue_headroom`)
+        — the same drain the per-frame spin_once cadence performs, just at
+        chunk boundaries.
 
         ``host_descriptors``: build Scan Context descriptors in the C++
         input pipeline (io/native_loader.py::sc_images_batch) instead of on
@@ -1430,6 +1450,7 @@ class Mapper:
         while len(sel) - pos >= chunk:
             idx = sel[pos : pos + chunk]
             self._ensure_capacity(chunk)
+            self._ensure_queue_headroom(chunk)
             # padded host staging (equivalent to pc.from_points per frame)
             xyz_np = np.full((chunk, cap, 3), pc.PAD_VALUE, np.float32)
             mask_np = np.zeros((chunk, cap), bool)
