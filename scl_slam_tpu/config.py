@@ -137,11 +137,15 @@ class OptimizerConfig:
     mapping_process_interval: float = 0.3  # seconds between opts (ref :148,1464)
     edge_capacity: int = 8192
     prior_capacity: int = 8
-    # distributed (multi-robot) solve
-    max_outer_rounds: int = 10           # ref maxIterationTime analog (:527)
-    rotation_change_threshold: float = 0.1  # ref rotThres (:530)
-    pose_change_threshold: float = 0.1   # ref poseThres (:531)
-    gamma: float = 1.0                   # over-relaxation (:529)
+    # distributed (mesh-attached) solve — consumed by
+    # runtime/mapper.py::_drain_queue_and_optimize_mesh when
+    # Mapper.attach_mesh() has routed the drain through the two-stage path
+    # (parallel/sharded.py::sharded_solve). The reference's
+    # distributedOptimizer contract, distributedMapping.h:525-535,878-880.
+    max_outer_rounds: int = 10           # GN iteration cap (ref maxIterationTime, :527)
+    rotation_change_threshold: float = 0.1  # early-stop |dx_rot| (ref rotThres, :530)
+    pose_change_threshold: float = 0.1   # early-stop |dx_trans| (ref poseThres, :531)
+    gamma: float = 1.0                   # update over-relaxation (:529)
     use_pcm: bool = False                # ref usePCM default off (:533)
     pcm_threshold: float = 0.75          # (:533)
 

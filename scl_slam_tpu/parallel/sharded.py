@@ -101,6 +101,9 @@ def sharded_solve(
     gn_iters: int = 8,
     cg_iters: int = 48,
     damping: float = 1e-6,
+    gamma: float = 1.0,
+    rotation_change_threshold: float = 0.0,
+    pose_change_threshold: float = 0.0,
 ):
     """Distributed GN: edges sharded across ``axis``, poses replicated.
 
@@ -108,6 +111,17 @@ def sharded_solve(
     J^T W J; a single ``psum`` per CG step reduces the products. The edge
     validity mask uses *global* edge ids so sharding doesn't change
     semantics. Returns (poses, chi2_history).
+
+    The reference's ``distributedOptimizer`` contract
+    (``include/distributedMapping.h:878-880, 525-535``) is honored here:
+    ``gamma`` over-relaxes each GN update (new = retract(cur, gamma*dx)),
+    and iteration FREEZES once the largest per-pose update drops below both
+    change thresholds (rotation: |dx[:, :3]| in rad; translation:
+    |dx[:, 3:]| in m — the ``rotThres``/``poseThres`` early-stop). The scan
+    length stays static (XLA needs it); converged iterations become no-ops,
+    which is the fixed-cost equivalent of the reference's early break. A
+    threshold <= 0 disables its test (both must pass to freeze, matching
+    the reference's two-stage stopping rule).
     """
     from ..graph.solver import _edge_jac, _edge_residual, _prior_jac, _prior_residual
 
@@ -117,7 +131,10 @@ def sharded_solve(
     eshard = E // n_dev
     eye6 = jnp.eye(6, dtype=poses.t.dtype)
 
-    def worker(gi, gj, gzR, gzt, gsq, n_edges, p_idx, pzR, pzt, psq, n_priors, R, t):
+    def worker(
+        gi, gj, gzR, gzt, gsq, n_edges, p_idx, pzR, pzt, psq, n_priors,
+        R, t, gam, rthres, pthres,
+    ):
         my = jax.lax.axis_index(axis)
         global_eid = jnp.arange(eshard) + my * eshard
         emask = global_eid < n_edges
@@ -145,7 +162,7 @@ def sharded_solve(
             return r_e, Ji, Jj, w_e, r_p, Jp, w_p
 
         def gn_step(carry, _):
-            cur = carry
+            cur, done = carry
             r_e, Ji, Jj, w_e, r_p, Jp, w_p = linearize(cur)
 
             # local block-diagonal + rhs, then psum to global
@@ -200,16 +217,28 @@ def sharded_solve(
             (dx, *_), _ = jax.lax.scan(
                 cg_step, (x0, b, z0, z0, jnp.sum(b * z0)), None, length=cg_iters
             )
-            new = se3.retract(cur, dx)
+            # over-relaxed update, frozen once converged (gamma / rotThres /
+            # poseThres semantics — see docstring)
+            dx = gam * dx
+            stepped = se3.retract(cur, dx)
+            new = se3.Pose(
+                jnp.where(done, cur.R, stepped.R),
+                jnp.where(done, cur.t, stepped.t),
+            )
+            rot_chg = jnp.max(jnp.linalg.norm(dx[:, :3], axis=-1))
+            pose_chg = jnp.max(jnp.linalg.norm(dx[:, 3:], axis=-1))
+            done = done | ((rot_chg < rthres) & (pose_chg < pthres))
 
             # chi2 (global): local residual sums + psum
             chi_local = jnp.sum(
                 jnp.sum((r_e * gsq) ** 2, -1) * emask
             ) + jnp.sum(jnp.sum((r_p * psq) ** 2, -1) * pmask)
             chi = jax.lax.psum(chi_local, axis)
-            return new, chi
+            return (new, done), chi
 
-        final, chis = jax.lax.scan(gn_step, cur, None, length=gn_iters)
+        (final, _), chis = jax.lax.scan(
+            gn_step, (cur, jnp.array(False)), None, length=gn_iters
+        )
         return final.R, final.t, chis
 
     specs = _edge_shard_specs(axis)
@@ -219,13 +248,16 @@ def sharded_solve(
         in_specs=(
             specs.i, specs.j, P(axis), P(axis), specs.sqrt_info, P(),
             P(), P(), P(), P(), P(),
-            P(), P(),
+            P(), P(), P(), P(), P(),
         ),
         out_specs=(P(), P(), P()),
     )(
         g.i, g.j, g.z.R, g.z.t, g.sqrt_info, g.num_edges,
         g.prior_idx, g.prior_z.R, g.prior_z.t, g.prior_sqrt_info, g.num_priors,
         poses.R, poses.t,
+        jnp.asarray(gamma, poses.t.dtype),
+        jnp.asarray(rotation_change_threshold, poses.t.dtype),
+        jnp.asarray(pose_change_threshold, poses.t.dtype),
     )
     R, t, chis = out
     return se3.Pose(R, t), chis

@@ -1006,12 +1006,13 @@ def _queue_loop(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
-    """Move queued loops into the factor graph, then solve.
+def _drain_queue(state: MapperState, cfg: SlamConfig):
+    """Shared drain stage: move queued loops into the factor graph.
 
-    Reference ``gtsamOpt`` (``distributedMapping.h:782-901``) + ``updatePoses``
-    (``:922-985``): loop factors get diagonal noise scaled by ICP fitness.
+    Reference ``gtsamOpt`` queue drain (``distributedMapping.h:784-823``):
+    loop factors get diagonal noise scaled by ICP fitness; endpoints not
+    yet ingested stay queued (deferred, ``:790-795``); evicted endpoints
+    are dropped. Returns (graph, n_new, compacted queue).
     """
     q = state.loop_queue
     graph = state.graph
@@ -1063,15 +1064,37 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         )
 
     graph = jax.lax.fori_loop(0, q.i.shape[0], add_one, graph)
+    added = ready if accept is None else (ready & accept)
+    n_new = jnp.sum(added)
+
+    # compact deferred entries back to the queue front (stable order)
+    order = jnp.argsort(~deferred, stable=True)
+    keep = lambda arr: jnp.take(arr, order, axis=0)
+    new_queue = LoopQueue(
+        i=keep(q.i),
+        j=keep(q.j),
+        z_R=keep(q.z_R),
+        z_t=keep(q.z_t),
+        noise=keep(q.noise),
+        count=jnp.sum(deferred).astype(jnp.int32),
+    )
+    return graph, n_new, new_queue
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
+    """Move queued loops into the factor graph, then solve (single device).
+
+    Reference ``gtsamOpt`` (``distributedMapping.h:782-901``) + ``updatePoses``
+    (``:922-985``): the iSAM2-fallback analog — a warm-started batch GN.
+    """
+    graph, n_new, new_queue = _drain_queue(state, cfg)
 
     # solve only when this drain actually added loop factors — the reference
     # likewise optimizes on loop events (gtsamOpt runs when loops arrive,
     # distributedMapping.h:782-901); without new loops the chained odometry
     # estimate already satisfies every new factor and GN is a ~2 ms no-op
     # per drain. _drain is called outside vmap, so lax.cond is a real branch.
-    added = ready if accept is None else (ready & accept)
-    n_new = jnp.sum(added)
-
     def _solve(operands):
         g, poses = operands
         r = solver.solve(
@@ -1097,17 +1120,72 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
     opt_R, opt_t, chi2_history = jax.lax.cond(
         n_new > 0, _solve, _skip, (graph, state.opt_poses())
     )
-    # compact deferred entries back to the queue front (stable order)
-    Q = q.i.shape[0]
-    order = jnp.argsort(~deferred, stable=True)
-    keep = lambda arr: jnp.take(arr, order, axis=0)
-    new_queue = LoopQueue(
-        i=keep(q.i),
-        j=keep(q.j),
-        z_R=keep(q.z_R),
-        z_t=keep(q.z_t),
-        noise=keep(q.noise),
-        count=jnp.sum(deferred).astype(jnp.int32),
+    state = state._replace(
+        graph=graph,
+        opt_R=opt_R,
+        opt_t=opt_t,
+        loop_queue=new_queue,
+        loop_closed=jnp.array(False),
+    )
+    return state, chi2_history
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def _drain_queue_and_optimize_mesh(
+    state: MapperState, cfg: SlamConfig, mesh, axis: str
+):
+    """Mesh-attached drain: the distributed two-stage solve in the LIVE path.
+
+    The reference's production optimizer is ``distributedOptimizer`` — a
+    two-stage (rotation then pose) distributed solve over the robots'
+    subgraphs (``distributedMapping.h:878-880``). The TPU-native equivalent
+    runs here whenever a mesh is attached (:meth:`Mapper.attach_mesh`):
+
+    1. **rotation stage** — chordal rotation averaging
+       (:func:`graph.rotation_init.chordal_rotation_init`), the global
+       linear relaxation that converges regardless of accumulated rotation
+       error (the reference's flagged-initialization + rotation
+       Gauss-Seidel serves the same role);
+    2. **pose stage** — factor-sharded Gauss-Newton over the mesh
+       (:func:`parallel.sharded.sharded_solve`): each device linearizes its
+       edge shard, one ``psum`` per CG step, with the reference's ``gamma``
+       over-relaxation and ``rotThres``/``poseThres`` early-stop honored
+       (``OptimizerConfig.gamma / rotation_change_threshold /
+       pose_change_threshold``), iteration count capped by
+       ``max_outer_rounds`` (the ``maxIterationTime`` analog).
+    """
+    from ..graph.rotation_init import chordal_rotation_init
+    from ..parallel import sharded
+
+    graph, n_new, new_queue = _drain_queue(state, cfg)
+
+    def _solve(operands):
+        g, poses = operands
+        init = chordal_rotation_init(g, poses)
+        new_poses, chis = sharded.sharded_solve(
+            mesh,
+            axis,
+            g,
+            init,
+            gn_iters=cfg.optimizer.max_outer_rounds,
+            cg_iters=cfg.optimizer.cg_iters,
+            damping=cfg.optimizer.damping,
+            gamma=cfg.optimizer.gamma,
+            rotation_change_threshold=cfg.optimizer.rotation_change_threshold,
+            pose_change_threshold=cfg.optimizer.pose_change_threshold,
+        )
+        return new_poses.R, new_poses.t, chis
+
+    def _skip(operands):
+        _, poses = operands
+        return (
+            poses.R,
+            poses.t,
+            jnp.zeros((cfg.optimizer.max_outer_rounds,), poses.t.dtype),
+        )
+
+    opt_R, opt_t, chi2_history = jax.lax.cond(
+        n_new > 0, _solve, _skip, (graph, state.opt_poses())
     )
     state = state._replace(
         graph=graph,
@@ -1162,6 +1240,7 @@ class Mapper:
         # eviction) per robot, merged back in by full-trajectory export
         self._evicted: dict[int, list] = {}
         self._db_sharding = None  # set by shard_database()
+        self._mesh = None         # set by attach_mesh()
 
     # -- city-scale map management (runtime/eviction.py) --
     def next_index(self, robot: int) -> int:
@@ -1179,6 +1258,24 @@ class Mapper:
         self._evicted.setdefault(robot, []).extend(records)
         if self._db_sharding is not None:
             self._apply_db_sharding()
+
+    def attach_mesh(self, mesh, axis: str = "shard") -> None:
+        """Route every drain's pose-graph solve through the distributed
+        two-stage path (chordal rotation init + factor-sharded GN over the
+        mesh) — the live-pipeline analog of the reference's
+        ``distributedOptimizer`` production path
+        (``distributedMapping.h:878-880``). See
+        :func:`_drain_queue_and_optimize_mesh`. Composable with
+        :meth:`shard_database` (retrieval sharding) on the same mesh."""
+        if self.cfg.optimizer.edge_capacity % mesh.shape[axis]:
+            raise ValueError(
+                f"edge_capacity {self.cfg.optimizer.edge_capacity} not "
+                f"divisible by mesh axis {axis}={mesh.shape[axis]}"
+            )
+        self._mesh = (mesh, axis)
+
+    def detach_mesh(self) -> None:
+        self._mesh = None
 
     def shard_database(self, mesh, axis: str = "shard") -> None:
         """Distribute the descriptor DB rows across a device mesh.
@@ -1569,8 +1666,20 @@ class Mapper:
         return None
 
     def optimize(self) -> np.ndarray:
-        """Drain the loop queue and run the pose-graph solve."""
-        self.state, chi2_hist = _drain_queue_and_optimize(self.state, self.cfg)
+        """Drain the loop queue and run the pose-graph solve.
+
+        With a mesh attached (:meth:`attach_mesh`) the solve is the
+        distributed two-stage path (rotation init + sharded GN); otherwise
+        the single-device warm-started GN (the iSAM2-fallback analog)."""
+        if self._mesh is not None:
+            mesh, axis = self._mesh
+            self.state, chi2_hist = _drain_queue_and_optimize_mesh(
+                self.state, self.cfg, mesh, axis
+            )
+        else:
+            self.state, chi2_hist = _drain_queue_and_optimize(
+                self.state, self.cfg
+            )
         return np.asarray(chi2_hist)
 
     # -- inter-robot loop closure (reference performInterLoopClosure /
