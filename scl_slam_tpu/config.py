@@ -114,10 +114,13 @@ class OptimizerConfig:
 
     gn_iters: int = 8
     cg_iters: int = 64
-    # two-level preconditioner supernode size (0 = block-Jacobi only).
-    # Needed for long trajectories: block-Jacobi CG takes O(N) iterations
-    # to carry a loop correction across an N-pose chain.
-    coarse_stride: int = 0
+    # multilevel preconditioner supernode size: -1 = AUTO (picked from the
+    # pose capacity at trace time, graph/solver.py::auto_coarse — long
+    # trajectories get the hierarchy without hand-tuning), 0 = block-Jacobi
+    # only, >0 = explicit. Needed for long trajectories: block-Jacobi CG
+    # takes O(N) iterations to carry a loop correction across an N-pose
+    # chain.
+    coarse_stride: int = -1
     # >1: additive multilevel (BPX) hierarchy — level l aggregates
     # coarse_stride**l poses; only the coarsest level solves densely. Use
     # when n_poses/coarse_stride is itself too large for a dense Cholesky

@@ -96,6 +96,39 @@ def add_between(
     )
 
 
+def add_between_block(
+    g: FactorGraph, i, j, z: se3.Pose, sqrt_info
+) -> FactorGraph:
+    """Vectorized append of B between factors in one shot.
+
+    Rows that would overflow capacity are dropped (the same
+    no-op-when-full semantics as B sequential :func:`add_between` calls).
+    i/j: [B] int; z: batched Pose; sqrt_info: [B, 6] or [6] (broadcast).
+    """
+    B = jnp.asarray(i).shape[0]
+    E = g.edge_capacity
+    sqrt_info = jnp.broadcast_to(
+        jnp.asarray(sqrt_info, jnp.float32), (B, 6)
+    )
+    pos = g.num_edges + jnp.arange(B, dtype=jnp.int32)
+    ok = pos < E
+    pos_w = jnp.where(ok, pos, E)  # scratch row for dropped writes
+
+    def scatter(arr, rows):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad])[: E + 1].at[pos_w].set(
+            rows.astype(arr.dtype)
+        )[:E]
+
+    return g._replace(
+        i=scatter(g.i, jnp.asarray(i, jnp.int32)),
+        j=scatter(g.j, jnp.asarray(j, jnp.int32)),
+        z=se3.Pose(scatter(g.z.R, z.R), scatter(g.z.t, z.t)),
+        sqrt_info=scatter(g.sqrt_info, sqrt_info),
+        num_edges=g.num_edges + jnp.sum(ok.astype(jnp.int32)),
+    )
+
+
 def add_prior(g: FactorGraph, idx, z: se3.Pose, sqrt_info) -> FactorGraph:
     pos = jnp.minimum(g.num_priors, g.prior_capacity - 1)
     ok = g.num_priors < g.prior_capacity

