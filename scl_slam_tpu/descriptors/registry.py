@@ -89,13 +89,13 @@ def exclude_recent(cfg: SlamConfig) -> int:
     if kind == DescriptorType.LIDAR_IRIS:
         return cfg.lidar_iris.exclude_recent
     if kind == DescriptorType.M2DP:
-        return m2dp.M2DPConfig().exclude_recent
+        return cfg.m2dp.exclude_recent
     if kind == DescriptorType.GRSD:
-        return geometric.GRSDConfig().exclude_recent
+        return cfg.grsd.exclude_recent
     if kind == DescriptorType.FPFH:
-        return geometric.FPFHConfig().exclude_recent
+        return cfg.fpfh.exclude_recent
     if kind == DescriptorType.SHOT:
-        return shot.SHOTConfig().exclude_recent
+        return cfg.shot.exclude_recent
     raise ValueError(f"unknown descriptor type {kind}")
 
 
@@ -149,7 +149,13 @@ def get_family(cfg: SlamConfig) -> Family:
             parts=lambda d: (d.image, d.row_key),
         )
     if kind == DescriptorType.M2DP:
-        m_cfg = m2dp.M2DPConfig()
+        p = cfg.m2dp
+        m_cfg = m2dp.M2DPConfig(
+            num_t=p.num_t, num_r=p.num_r, num_p=p.num_p, num_q=p.num_q,
+            max_rho=p.max_rho, num_candidates=p.num_candidates,
+            exclude_recent=p.exclude_recent,
+            distance_threshold=p.distance_threshold,
+        )
         return Family(
             name="m2dp",
             make=lambda cloud: m2dp.make(cloud, m_cfg),
@@ -163,7 +169,12 @@ def get_family(cfg: SlamConfig) -> Family:
             parts=lambda d: (d.descriptor, d.descriptor),
         )
     if kind == DescriptorType.GRSD:
-        g_cfg = geometric.GRSDConfig()
+        p = cfg.grsd
+        g_cfg = geometric.GRSDConfig(
+            num_bins=p.num_bins, knn=p.knn, num_candidates=p.num_candidates,
+            exclude_recent=p.exclude_recent,
+            distance_threshold=p.distance_threshold,
+        )
         return _vector_family(
             "grsd",
             lambda cloud: geometric.grsd_make(cloud, g_cfg).descriptor,
@@ -171,7 +182,12 @@ def get_family(cfg: SlamConfig) -> Family:
             g_cfg,
         )
     if kind == DescriptorType.FPFH:
-        f_cfg = geometric.FPFHConfig()
+        p = cfg.fpfh
+        f_cfg = geometric.FPFHConfig(
+            num_bins=p.num_bins, knn=p.knn, num_candidates=p.num_candidates,
+            exclude_recent=p.exclude_recent,
+            distance_threshold=p.distance_threshold,
+        )
         return _vector_family(
             "fpfh",
             lambda cloud: geometric.fpfh_make(cloud, f_cfg).descriptor,
@@ -179,7 +195,14 @@ def get_family(cfg: SlamConfig) -> Family:
             f_cfg,
         )
     if kind == DescriptorType.SHOT:
-        s_cfg = shot.SHOTConfig()
+        p = cfg.shot
+        s_cfg = shot.SHOTConfig(
+            azimuth_bins=p.azimuth_bins, elevation_bins=p.elevation_bins,
+            radial_bins=p.radial_bins, cos_bins=p.cos_bins,
+            max_radius=p.max_radius, knn=p.knn,
+            num_candidates=p.num_candidates, exclude_recent=p.exclude_recent,
+            distance_threshold=p.distance_threshold,
+        )
         return _vector_family(
             "shot",
             lambda cloud: shot.shot_make(cloud, s_cfg).descriptor,
