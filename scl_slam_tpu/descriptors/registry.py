@@ -130,7 +130,7 @@ def get_family(cfg: SlamConfig) -> Family:
             exclude_recent=p.exclude_recent, num_candidates=p.num_candidates,
             nscale=p.nscale, min_wave_length=p.min_wave_length,
             mult=p.mult, sigma_on_f=p.sigma_on_f,
-            match_flipped=(p.match_mode == 2),
+            match_mode=p.match_mode,
         )
         return Family(
             name="lidar_iris",
@@ -145,7 +145,10 @@ def get_family(cfg: SlamConfig) -> Family:
             ),
             to_wire=lidar_iris.to_wire,
             from_wire=lambda v: lidar_iris.from_wire(v, li_cfg),
-            wire_dim=p.rows * p.cols,
+            # image + row key: the max-z row key is not reconstructible
+            # from the byte image, so the reference wires both
+            # (descriptor.h:1065-1085)
+            wire_dim=p.rows * p.cols + p.rows,
             parts=lambda d: (d.image, d.row_key),
         )
     if kind == DescriptorType.M2DP:
