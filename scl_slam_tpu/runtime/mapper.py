@@ -1102,21 +1102,34 @@ def _drain_queue_and_optimize(state: MapperState, cfg: SlamConfig):
         # corrections plain warm-started GN stalls on — the same rotation
         # stage the reference's distributedOptimizer runs; its iSAM2
         # fallback lacks it, and measurably pays for it (synthetic drift
-        # e2e: ATE 2.77 vs 1.77 with the rotation stage).
+        # e2e: ATE 2.77 vs 1.77 with the rotation stage). But discarding
+        # the warm start is not free either (near-converged multi-robot
+        # states re-converge slightly differently), so run GN from BOTH
+        # starts and keep the lower final chi2 — never worse than either
+        # pure strategy, and drains are rare (loop events) so the 2x solve
+        # cost is noise.
         from ..graph.rotation_init import chordal_rotation_init
 
-        init = chordal_rotation_init(g, poses)
-        r = solver.solve(
-            g,
-            init,
-            gn_iters=cfg.optimizer.gn_iters,
-            cg_iters=cfg.optimizer.cg_iters,
-            damping=cfg.optimizer.damping,
-            huber_delta=cfg.optimizer.huber_delta,
-            coarse_stride=cfg.optimizer.coarse_stride,
-            coarse_levels=cfg.optimizer.coarse_levels,
-        )
-        return r.poses.R, r.poses.t, r.chi2_history
+        def run(init_poses):
+            r = solver.solve(
+                g,
+                init_poses,
+                gn_iters=cfg.optimizer.gn_iters,
+                cg_iters=cfg.optimizer.cg_iters,
+                damping=cfg.optimizer.damping,
+                huber_delta=cfg.optimizer.huber_delta,
+                coarse_stride=cfg.optimizer.coarse_stride,
+                coarse_levels=cfg.optimizer.coarse_levels,
+            )
+            return r.poses, r.chi2_history
+
+        warm_poses, warm_chi = run(poses)
+        staged_poses, staged_chi = run(chordal_rotation_init(g, poses))
+        use_staged = staged_chi[-1] < warm_chi[-1]
+        R = jnp.where(use_staged, staged_poses.R, warm_poses.R)
+        t = jnp.where(use_staged, staged_poses.t, warm_poses.t)
+        chi = jnp.where(use_staged, staged_chi, warm_chi)
+        return R, t, chi
 
     def _skip(operands):
         _, poses = operands

@@ -50,7 +50,12 @@ def fleet_cfg(n_robots=2, max_keyframes=64):
             odometry_sigmas=(0.005,) * 3 + (0.05,) * 3,
             loop_noise_scale=0.05,
         ),
-        scan_context=ScanContextParams(exclude_recent=10, num_candidates=6),
+        # 0.25 = the synthetic-density SC gate every synthetic e2e uses
+        # (the 0.14 default is for full-density scans; at 4k pts it starves
+        # inter-robot retrieval down to 1-2 marginal loops)
+        scan_context=ScanContextParams(
+            exclude_recent=10, num_candidates=6, distance_threshold=0.25
+        ),
     )
 
 
@@ -120,9 +125,13 @@ class TestFleet:
         dead_b = np.stack(
             [np.asarray(se3.to_matrix(b_poses[k])) for k in frame_ids]
         )
-        ate_opt = tio.ate_rmse(est_b, gt_b)
-        ate_dead = tio.ate_rmse(dead_b, gt_b)
-        assert ate_opt < ate_dead, (
+        # unaligned ATE: the decisive measure here — b's drift is forward
+        # along its own path, so aligned (shape-only) ATE is dominated by
+        # the unconstrained tail and barely moves; the inter-loop anchors
+        # correct the absolute trajectory (measured 0.67 vs 0.78)
+        ate_opt = tio.ate_rmse(est_b, gt_b, align=False)
+        ate_dead = tio.ate_rmse(dead_b, gt_b, align=False)
+        assert ate_opt < 0.95 * ate_dead, (
             f"fleet joint solve must reduce b's ATE: {ate_opt} vs {ate_dead}"
         )
 
