@@ -314,6 +314,195 @@ def nearest_neighbors_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Fused ICP iteration: NN + weighted Kabsch moments in ONE pass
+# ---------------------------------------------------------------------------
+
+# moments vector layout (slots of the [B, 128] output)
+M_W = 0          # sum w                      (w = correspondence accepted)
+M_S = 1          # 1:4   sum w * s            (s = pose-transformed source)
+M_D = 4          # 4:7   sum w * d            (d = matched target point)
+M_CROSS = 7      # 7:16  sum w * s_a * d_b    (row-major 3x3)
+M_WD2 = 16       # sum w * d2                 (fitness numerator)
+M_NSRC = 17      # count of valid source points (inlier_frac denominator)
+M_SLOTS = 18
+
+
+def _icp_moments_kernel(
+    active_ref, q_ref, t_ref, p_ref, m_ref, d_s, sel_s,
+    *, tq: int, tt: int, maxd2: float,
+):
+    """Grid (B, query_tiles, target_tiles), j fastest.
+
+    q_ref [1, 4, tq]: source LOCAL xyz rows + validity row.
+    t_ref [1, 4, tt]: target xyz rows + validity row (PAD_VALUE outside).
+    p_ref [1, 8, 128]: lane pose in row 0 (R row-major in 0:9, t in 9:12;
+                      rows 1-7 are sublane padding — TPU lowering needs the
+                      trailing block dims divisible by (8, 128)).
+    m_ref [1, 8, 128]: accumulated moments in row 0 (layout above),
+                      revisited over (i, j) — reset at the first tile,
+                      accumulated at each query tile's LAST target tile.
+    d_s [1, tq], sel_s [4, tq]: running best (d2, matched payload) scratch,
+    reset per query tile.
+
+    Fuses the whole ICP iteration body: per-lane pose transform, streaming
+    1-NN with payload selection, correspondence gating, and the weighted
+    Kabsch moment reductions — so one iteration leaves the kernel as 18
+    scalars per lane instead of a [B, 4, N] selection plus a dozen glue
+    ops (the measured 59 ms ICP share of a replay chunk was dominated by
+    exactly that glue + materialization).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        m_ref[0] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        d_s[0, :] = jnp.full((tq,), jnp.inf, jnp.float32)
+        sel_s[:, :] = jnp.zeros_like(sel_s)
+
+    @pl.when(active_ref[b] != 0)
+    def _():
+        q = q_ref[0]                                   # [4, tq] local
+        p = p_ref[0, 0]                                # [128]
+        # per-lane rigid transform on the VPU (exact f32 direct form)
+        sx = p[0] * q[0] + p[1] * q[1] + p[2] * q[2] + p[9]
+        sy = p[3] * q[0] + p[4] * q[1] + p[5] * q[2] + p[10]
+        sz = p[6] * q[0] + p[7] * q[1] + p[8] * q[2] + p[11]
+
+        t = t_ref[0]                                   # [4, tt]
+        d2 = jnp.zeros((tq, tt), jnp.float32)
+        for c, qc in enumerate((sx, sy, sz)):
+            diff = qc.reshape(tq, 1) - t[c].reshape(1, tt)
+            d2 = d2 + diff * diff
+        tile_best = jnp.min(d2, axis=1)
+        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        one_hot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tq, tt), 1)
+            == tile_arg[:, None]
+        ).astype(jnp.float32)
+        sel_tile = jax.lax.dot_general(
+            t,
+            one_hot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                               # [4, tq]
+        prev_d = d_s[0, :]
+        take = tile_best < prev_d
+        d_s[0, :] = jnp.where(take, jnp.maximum(tile_best, 0.0), prev_d)
+        sel_s[:, :] = jnp.where(take[None, :], sel_tile, sel_s[:, :])
+
+        @pl.when(j == nj - 1)
+        def _():
+            d2b = d_s[0, :]
+            smask = q[3] > 0.5
+            good = smask & (sel_s[3, :] > 0.5) & (d2b < maxd2)
+            w = good.astype(jnp.float32)
+            dx, dy, dz = sel_s[0, :], sel_s[1, :], sel_s[2, :]
+            vals = [
+                jnp.sum(w),
+                jnp.sum(w * sx), jnp.sum(w * sy), jnp.sum(w * sz),
+                jnp.sum(w * dx), jnp.sum(w * dy), jnp.sum(w * dz),
+                jnp.sum(w * sx * dx), jnp.sum(w * sx * dy), jnp.sum(w * sx * dz),
+                jnp.sum(w * sy * dx), jnp.sum(w * sy * dy), jnp.sum(w * sy * dz),
+                jnp.sum(w * sz * dx), jnp.sum(w * sz * dy), jnp.sum(w * sz * dz),
+                jnp.sum(jnp.where(good, d2b, 0.0)),
+                jnp.sum(smask.astype(jnp.float32)),
+            ]
+            vec = jnp.concatenate(
+                [v.reshape(1) for v in vals]
+                + [jnp.zeros((128 - M_SLOTS,), jnp.float32)]
+            )
+            m_ref[0, 0, :] = m_ref[0, 0, :] + vec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_corr_dist", "interpret")
+)
+def icp_moments_batched_pallas(
+    src4: jax.Array,        # [B, 4, Nq] local xyz rows + validity row
+    payload: jax.Array,     # [B, 4, Nt] target xyz rows + validity row
+    pose_rows: jax.Array,   # [B, 128] R row-major 0:9, t 9:12
+    active: jax.Array,      # [B]
+    max_corr_dist: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused ICP iteration pass. Returns [B, 128] moment vectors
+    (layout: module constants M_*). Inactive lanes return zeros."""
+    Bn, _, nq = src4.shape
+    nt = payload.shape[2]
+    tt = pick_target_tile(nt)
+    assert nq % TQ == 0 and tt is not None, (nq, nt)
+    pose8 = jnp.zeros((Bn, 8, 128), jnp.float32).at[:, 0, :].set(pose_rows)
+
+    m = pl.pallas_call(
+        functools.partial(
+            _icp_moments_kernel, tq=TQ, tt=tt,
+            maxd2=float(max_corr_dist) ** 2,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bn, nq // TQ, nt // tt),
+            in_specs=[
+                pl.BlockSpec((1, 4, TQ), lambda b, i, j, a: (b, 0, i)),
+                pl.BlockSpec((1, 4, tt), lambda b, i, j, a: (b, 0, j)),
+                pl.BlockSpec((1, 8, 128), lambda b, i, j, a: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, 128), lambda b, i, j, a: (b, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, TQ), jnp.float32),
+                pltpu.VMEM((4, TQ), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bn, 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(active.astype(jnp.int32), src4, payload, pose8)
+    return m[:, 0, :]
+
+
+def icp_moments_reference(src4, payload, pose_rows, active, max_corr_dist):
+    """jnp reference of :func:`icp_moments_batched_pallas` (CPU fallback +
+    equivalence oracle). Same shapes and moment layout."""
+    R = pose_rows[:, 0:9].reshape(-1, 3, 3)
+    t = pose_rows[:, 9:12]
+    src = jnp.swapaxes(src4[:, 0:3, :], -1, -2)        # [B, Nq, 3]
+    smask = src4[:, 3, :] > 0.5
+    moved = jnp.einsum("bij,bnj->bni", R, src) + t[:, None, :]
+    tgt = jnp.swapaxes(payload[:, 0:3, :], -1, -2)     # [B, Nt, 3]
+    diff = moved[:, :, None, :] - tgt[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)                 # [B, Nq, Nt]
+    idx = jnp.argmin(d2, axis=-1)
+    best = jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0]
+    dsel = jnp.take_along_axis(tgt, idx[..., None], axis=1)
+    vsel = jnp.take_along_axis(payload[:, 3, :], idx, axis=1)
+    good = smask & (vsel > 0.5) & (best < max_corr_dist**2)
+    good = good & active[:, None]
+    w = good.astype(jnp.float32)
+    m = jnp.zeros((src4.shape[0], 128), jnp.float32)
+    m = m.at[:, M_W].set(jnp.sum(w, -1))
+    m = m.at[:, M_S : M_S + 3].set(jnp.einsum("bn,bnc->bc", w, moved))
+    m = m.at[:, M_D : M_D + 3].set(jnp.einsum("bn,bnc->bc", w, dsel))
+    m = m.at[:, M_CROSS : M_CROSS + 9].set(
+        jnp.einsum("kn,knx,kny->kxy", w, moved, dsel).reshape(-1, 9)
+    )
+    m = m.at[:, M_WD2].set(jnp.sum(jnp.where(good, best, 0.0), -1))
+    m = m.at[:, M_NSRC].set(
+        jnp.sum((smask & active[:, None]).astype(jnp.float32), -1)
+    )
+    return m
+
+
+# ---------------------------------------------------------------------------
 # Fused separable max-binning (Scan Context image construction)
 # ---------------------------------------------------------------------------
 

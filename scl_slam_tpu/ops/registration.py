@@ -159,8 +159,39 @@ STALL_RATIO = 0.9
 STALL_PATIENCE = 3
 STALL_ABS_FACTOR = 100.0
 
+# trace-time switch for the fused-moments batched ICP path. Default OFF:
+# the within-process A/B measured it perf-NEUTRAL on the replay workload
+# (938 vs 957 frames/s — inside the scanned chunk XLA already fuses the
+# per-iteration glue the kernel removes; the standalone profiles that
+# motivated it were measuring dispatch floor). Kept because it halves the
+# iteration's HBM traffic ([B,4,N] selection never materializes), which
+# matters at larger-than-bench shapes; see scripts/profile_icp_fused_ab.py.
+FUSED_ICP = False
 
-def _icp_stage(src, smask, payload, init, max_iters, max_corr_dist, tol):
+# Hopeless-lane exit: a lane whose updates have stalled AND whose current
+# mean-square correspondence distance is still HOPELESS_MARGIN x the
+# caller's accept gate (``gate_fitness``) is frozen: flipping the gate
+# decision would need the RMS correspondence distance to halve, but at
+# stall the per-iteration motion has collapsed to a fraction of an
+# already-small step. This recovers the round-1 early-exit throughput on
+# descriptor false positives (which stall far above the gate) while true
+# loops anywhere near the gate keep iterating to tol — the bounded-error
+# form of the stall exit ADVICE r1 asked for. gate_fitness=inf disables.
+HOPELESS_MARGIN = 4.0
+
+# The coarse stage of coarse-to-fine ICP only needs to land inside the
+# fine stage's convergence basin (a fraction of max_corr_dist), not at the
+# final tol: running the 1/f-resolution loop down to icp_tol (~0.1 mm)
+# burns NN passes the full-resolution polish repeats anyway. 30x of a
+# 1e-4 tol is 3 mm / 3 mrad — far inside any basin the coarse stage can
+# certify at its own correspondence resolution.
+COARSE_TOL_FACTOR = 30.0
+
+
+def _icp_stage(
+    src, smask, payload, init, max_iters, max_corr_dist, tol,
+    gate_fitness=jnp.inf,
+):
     """One ICP while_loop over fixed correspondence resolution.
 
     lax.while_loop, not scan: callers run ICP sequentially (one verify per
@@ -191,9 +222,17 @@ def _icp_stage(src, smask, payload, init, max_iters, max_corr_dist, tol):
         delta = jnp.linalg.norm(update.t) + jnp.linalg.norm(
             update.R - jnp.eye(3, dtype=src.dtype)
         )
+        n_good = jnp.sum(w)
+        ms = jnp.where(
+            n_good > 0,
+            jnp.sum(jnp.where(good, d2, 0.0)) / jnp.maximum(n_good, 1.0),
+            jnp.inf,
+        )
         stall = jnp.where(delta < STALL_RATIO * prev_delta, 0, stall + 1)
+        stalled = stall >= STALL_PATIENCE
         stall_armed = delta < STALL_ABS_FACTOR * tol
-        done = (delta < tol) | (stall_armed & (stall >= STALL_PATIENCE))
+        hopeless = stalled & (ms > HOPELESS_MARGIN * gate_fitness)
+        done = (delta < tol) | (stall_armed & stalled) | hopeless
         return (i + 1, new_pose, delta, stall, done)
 
     _, pose, delta, _stall, _done = jax.lax.while_loop(
@@ -218,6 +257,7 @@ def icp(
     max_corr_dist: float = 10.0,
     tol: float = 1e-6,
     coarse_factor: int = 1,
+    gate_fitness: float = jnp.inf,
 ) -> ICPResult:
     """Point-to-point ICP with early exit at the update-norm tolerance.
 
@@ -235,6 +275,11 @@ def icp(
     scramble/hash-ordered at rest (see ops.pointcloud downsamplers), so a
     strided slice is a spatially uniform subsample. Fitness is always
     computed at full resolution.
+
+    ``gate_fitness``: the caller's fitness accept threshold (mean squared
+    correspondence distance). When finite, enables the hopeless-lane exit
+    (see HOPELESS_MARGIN); never changes the result of a run that ends
+    anywhere near the gate.
     """
     if init is None:
         init = se3.identity(dtype=source.xyz.dtype)
@@ -250,10 +295,12 @@ def icp(
     if f > 1 and src.shape[0] % f == 0 and payload.shape[1] % f == 0:
         init, _, _ = _icp_stage(
             src[::f], smask[::f], payload[:, ::f], init,
-            max_iters, max_corr_dist, tol,
+            max_iters, max_corr_dist, COARSE_TOL_FACTOR * tol,
+            gate_fitness,
         )
     pose, delta, converged = _icp_stage(
-        src, smask, payload, init, max_iters, max_corr_dist, tol
+        src, smask, payload, init, max_iters, max_corr_dist, tol,
+        gate_fitness,
     )
 
     # final fitness with converged pose
@@ -296,7 +343,8 @@ def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist):
 
 
 def _icp_stage_batched(
-    src, smask, payload, R0, t0, done0, max_iters, max_corr_dist, tol
+    src, smask, payload, R0, t0, done0, max_iters, max_corr_dist, tol,
+    gate_fitness=jnp.inf,
 ):
     """Batched-lane ICP while_loop at one correspondence resolution.
 
@@ -313,7 +361,7 @@ def _icp_stage_batched(
     def body(carry):
         i, R, t, delta, stall, done = carry
         pose = se3.Pose(R, t)
-        moved, _d2, matched, good = _matches_batched(
+        moved, d2, matched, good = _matches_batched(
             src, smask, payload, pose, ~done, max_corr_dist
         )
         w = good.astype(dtype)
@@ -322,6 +370,13 @@ def _icp_stage_batched(
         ndelta = jnp.linalg.norm(update.t, axis=-1) + jnp.linalg.norm(
             update.R - eye, axis=(-2, -1)
         )
+        n_good = jnp.sum(w, axis=-1)
+        ms = jnp.where(
+            n_good > 0,
+            jnp.sum(jnp.where(good, d2, 0.0), axis=-1)
+            / jnp.maximum(n_good, 1.0),
+            jnp.inf,
+        )
         keep = done[:, None, None]
         R = jnp.where(keep, R, new_pose.R)
         t = jnp.where(done[:, None], t, new_pose.t)
@@ -329,8 +384,114 @@ def _icp_stage_batched(
             done, stall, jnp.where(ndelta < STALL_RATIO * delta, 0, stall + 1)
         )
         delta = jnp.where(done, delta, ndelta)
+        stalled = stall >= STALL_PATIENCE
         stall_armed = delta < STALL_ABS_FACTOR * tol
-        done = done | (delta < tol) | (stall_armed & (stall >= STALL_PATIENCE))
+        hopeless = stalled & (ms > HOPELESS_MARGIN * gate_fitness)
+        done = done | (delta < tol) | (stall_armed & stalled) | hopeless
+        return (i + 1, R, t, delta, stall, done)
+
+    _, R, t, delta, _stall, done = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.array(0), R0, t0, jnp.full((B,), jnp.inf, dtype),
+            jnp.zeros((B,), jnp.int32), done0,
+        ),
+    )
+    return R, t, delta, done
+
+
+# ---------------------------------------------------------------------------
+# fused-moments batched ICP (TPU fast path)
+# ---------------------------------------------------------------------------
+
+
+def _kabsch_from_moments(m, dtype):
+    """Rigid update from the fused kernel's moment vectors [B, 128].
+
+    Same math as :func:`kabsch` on (moved, matched, w): the weighted
+    cross-covariance is reconstructed from uncentered moments (the caller
+    recenters the problem near the origin so the subtraction is
+    well-conditioned). Lanes with no correspondences return identity."""
+    from . import pallas_kernels as pk
+
+    sw_raw = m[:, pk.M_W]
+    sw = jnp.maximum(sw_raw, 1e-9)[:, None]
+    mu_s = m[:, pk.M_S : pk.M_S + 3] / sw
+    mu_d = m[:, pk.M_D : pk.M_D + 3] / sw
+    cross = m[:, pk.M_CROSS : pk.M_CROSS + 9].reshape(-1, 3, 3) / sw[
+        :, :, None
+    ]
+    H = cross - mu_s[:, :, None] * mu_d[:, None, :]
+    U, _, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.einsum("bji,bj,bkj->bik", Vt, D, U)
+    t = mu_d - jnp.einsum("bij,bj->bi", R, mu_s)
+    none = (sw_raw < 0.5)[:, None]
+    eye = jnp.eye(3, dtype=dtype)
+    R = jnp.where(none[..., None], eye, R)
+    t = jnp.where(none, jnp.zeros_like(t), t)
+    return se3.Pose(R, t)
+
+
+def _icp_stage_batched_fused(
+    src4, payload4, R0, t0, done0, max_iters, max_corr_dist, tol,
+    gate_fitness=jnp.inf,
+):
+    """Batched-lane ICP at one resolution via the fused moments kernel.
+
+    ONE Pallas pass per iteration (per-lane transform + streaming NN +
+    correspondence gate + Kabsch moment reductions), leaving only [B,3,3]
+    glue outside — replaces the [B,4,N] selection materialization + ~dozen
+    elementwise/reduction ops of :func:`_icp_stage_batched`.
+    src4 [B,4,Nq] LOCAL source rows+mask; payload4 [B,4,Nt].
+    """
+    from . import pallas_kernels as pk
+
+    B = src4.shape[0]
+    dtype = src4.dtype
+    eye = jnp.eye(3, dtype=dtype)
+
+    def moments(R, t, act):
+        pose_rows = (
+            jnp.zeros((B, 128), jnp.float32)
+            .at[:, 0:9].set(R.reshape(B, 9))
+            .at[:, 9:12].set(t)
+        )
+        return pk.icp_moments_batched_pallas(
+            src4, payload4, pose_rows, act, max_corr_dist
+        )
+
+    def cond(carry):
+        i, _R, _t, _delta, _stall, done = carry
+        return (i < max_iters) & jnp.any(~done)
+
+    def body(carry):
+        i, R, t, delta, stall, done = carry
+        m = moments(R, t, ~done)
+        update = _kabsch_from_moments(m, dtype)
+        new_pose = se3.compose(update, se3.Pose(R, t))
+        ndelta = jnp.linalg.norm(update.t, axis=-1) + jnp.linalg.norm(
+            update.R - eye, axis=(-2, -1)
+        )
+        n_good = m[:, pk.M_W]
+        ms = jnp.where(
+            n_good > 0,
+            m[:, pk.M_WD2] / jnp.maximum(n_good, 1.0),
+            jnp.inf,
+        )
+        keep = done[:, None, None]
+        R = jnp.where(keep, R, new_pose.R)
+        t = jnp.where(done[:, None], t, new_pose.t)
+        stall = jnp.where(
+            done, stall, jnp.where(ndelta < STALL_RATIO * delta, 0, stall + 1)
+        )
+        delta = jnp.where(done, delta, ndelta)
+        stalled = stall >= STALL_PATIENCE
+        stall_armed = delta < STALL_ABS_FACTOR * tol
+        hopeless = stalled & (ms > HOPELESS_MARGIN * gate_fitness)
+        done = done | (delta < tol) | (stall_armed & stalled) | hopeless
         return (i + 1, R, t, delta, stall, done)
 
     _, R, t, delta, _stall, done = jax.lax.while_loop(
@@ -353,6 +514,7 @@ def icp_batched(
     max_corr_dist: float = 10.0,
     tol: float = 1e-6,
     coarse_factor: int = 1,
+    gate_fitness: float = jnp.inf,
 ) -> ICPResult:
     """B independent point-to-point ICPs in one device program.
 
@@ -363,13 +525,23 @@ def icp_batched(
     verification path — B solo ICPs cost B x ~90 us per iteration in serial
     dispatch-bound tiny ops; batched lanes share each iteration's kernels.
 
+    On TPU with tile-divisible shapes every iteration runs as ONE fused
+    Pallas pass (transform + streaming NN + gating + Kabsch moments,
+    ``pallas_kernels.icp_moments_batched_pallas``); the problem is
+    recentred at the per-lane target centroid first so the uncentered
+    moment subtraction stays well-conditioned at map-scale coordinates.
+    Other backends/shapes use the selection-based stage.
+
     source/target: Clouds with leading batch dim ([B, N, 3] / [B, N]).
     init: batched Pose. active [B] bool: lanes to run (inactive lanes
     return fitness=inf, identity-ish results; callers gate on ``active``).
     ``coarse_factor``: see :func:`icp` — a coarse strided-subsample stage
     (1/f^2 NN pairs per iteration) before the full-resolution polish;
-    fitness always comes from full resolution.
+    fitness always comes from full resolution. ``gate_fitness``: see
+    :func:`icp` (enables the hopeless-lane exit when finite).
     """
+    from . import pallas_kernels as pk
+
     dtype = source.xyz.dtype
     tgt = jnp.where(target.mask[..., None], target.xyz, PAD_VALUE)
     payload = jnp.concatenate(
@@ -381,17 +553,80 @@ def icp_batched(
     )                                                           # [B, 4, M]
     src = source.xyz
     smask = source.mask
+    nq, nt = src.shape[1], payload.shape[2]
+    f = coarse_factor
+    coarse_ok = f > 1 and nq % f == 0 and nt % f == 0
+
+    fused = (
+        FUSED_ICP
+        and jax.default_backend() != "cpu"
+        and nq % pk.TQ == 0
+        and pk.pick_target_tile(nt) is not None
+        and (
+            not coarse_ok
+            or (
+                (nq // f) % pk.TQ == 0
+                and pk.pick_target_tile(nt // f) is not None
+            )
+        )
+    )
 
     done0 = ~active
+    if fused:
+        # recentre at the per-lane valid-target centroid: moment-form
+        # Kabsch subtracts uncentered sums, which loses precision when
+        # |coords| >> cloud spread (map frames sit 10^2-10^3 m out)
+        msum = jnp.maximum(jnp.sum(target.mask, axis=-1), 1)
+        center = (
+            jnp.sum(jnp.where(target.mask[..., None], target.xyz, 0.0), axis=1)
+            / msum[:, None]
+        )                                                       # [B, 3]
+        payload_c = payload.at[:, 0:3, :].add(-center[:, :, None])
+        src4 = jnp.concatenate(
+            [jnp.swapaxes(src, -1, -2), smask[:, None, :].astype(dtype)],
+            axis=1,
+        )                                                       # [B, 4, Nq]
+        R0, t0 = init.R, init.t - center
+        if coarse_ok:
+            R0, t0, _, _ = _icp_stage_batched_fused(
+                src4[:, :, ::f], payload_c[:, :, ::f],
+                R0, t0, done0, max_iters, max_corr_dist,
+                COARSE_TOL_FACTOR * tol, gate_fitness,
+            )
+        R, t, delta, done = _icp_stage_batched_fused(
+            src4, payload_c, R0, t0, done0, max_iters, max_corr_dist, tol,
+            gate_fitness,
+        )
+        pose = se3.Pose(R, t + center)
+
+        # final fitness/inlier stats from one more fused pass
+        pose_rows = (
+            jnp.zeros((src.shape[0], 128), jnp.float32)
+            .at[:, 0:9].set(R.reshape(-1, 9))
+            .at[:, 9:12].set(t)
+        )
+        m = pk.icp_moments_batched_pallas(
+            src4, payload_c, pose_rows, active, max_corr_dist
+        )
+        n_good = m[:, pk.M_W]
+        fitness = jnp.where(
+            (n_good > 0) & active,
+            m[:, pk.M_WD2] / jnp.maximum(n_good, 1.0),
+            jnp.inf,
+        )
+        inlier_frac = n_good / jnp.maximum(m[:, pk.M_NSRC], 1.0)
+        return ICPResult(pose, fitness, inlier_frac, (delta < tol) & active)
+
     R0, t0 = init.R, init.t
-    f = coarse_factor
-    if f > 1 and src.shape[1] % f == 0 and payload.shape[2] % f == 0:
+    if coarse_ok:
         R0, t0, _, _ = _icp_stage_batched(
             src[:, ::f], smask[:, ::f], payload[:, :, ::f],
-            R0, t0, done0, max_iters, max_corr_dist, tol,
+            R0, t0, done0, max_iters, max_corr_dist,
+            COARSE_TOL_FACTOR * tol, gate_fitness,
         )
     R, t, delta, done = _icp_stage_batched(
-        src, smask, payload, R0, t0, done0, max_iters, max_corr_dist, tol
+        src, smask, payload, R0, t0, done0, max_iters, max_corr_dist, tol,
+        gate_fitness,
     )
     pose = se3.Pose(R, t)
 

@@ -520,6 +520,7 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
             max_corr_dist=cfg.loop.icp_max_corr_dist,
             tol=cfg.loop.icp_tol,
             coarse_factor=cfg.loop.icp_coarse_factor,
+            gate_fitness=cfg.loop.history_fitness_score,
         )
         corrected = se3.compose(icp_res.pose, init_pose)
         return icp_res.fitness, corrected.R, corrected.t
@@ -784,6 +785,7 @@ def _batch_body_prepared(
             max_corr_dist=cfg.loop.icp_max_corr_dist,
             tol=cfg.loop.icp_tol,
             coarse_factor=cfg.loop.icp_coarse_factor,
+            gate_fitness=cfg.loop.history_fitness_score,
         )
         corrected = se3.compose(res.pose, inits)
         return res.fitness, corrected.R, corrected.t

@@ -68,7 +68,21 @@ def main() -> int:
         print("no test files found", file=sys.stderr)
         return 2
     n = args.chunks
-    chunks = [files[i::n] for i in range(n)]  # round-robin keeps sizes even
+    # distribute by weight (known-heavy KITTI-density e2e files first, snake
+    # order) so no chunk stacks several multi-minute files
+    HEAVY = {
+        "test_realistic_proxy.py": 10,
+        "test_iris_realistic.py": 10,
+        "test_solver_scale.py": 5,
+        "test_pipeline.py": 4,
+        "test_mesh_drain.py": 3,
+        "test_descriptor_families.py": 3,
+    }
+    files.sort(key=lambda f: -HEAVY.get(os.path.basename(f), 1))
+    chunks = [[] for _ in range(n)]
+    for k, f in enumerate(files):
+        lane = k % (2 * n)
+        chunks[lane if lane < n else 2 * n - 1 - lane].append(f)
 
     t_start = time.time()
     failures = []
@@ -79,7 +93,11 @@ def main() -> int:
               flush=True)
         t0 = time.time()
         ok, why = run_chunk(chunk, args.timeout)
-        if not ok:
+        if not ok and "timeout" in why:
+            # only HANGS get the clean-cache retry (the observed hang modes
+            # are cache corruption / the futex stall); a plain test failure
+            # is a genuine failure — re-running with a cold cache would just
+            # burn ~30 min of recompiles to fail again
             print(f"[suite] chunk {ci + 1} FAILED ({why}); retrying once "
                   f"with a clean compile cache", flush=True)
             clean_cache()

@@ -102,7 +102,7 @@ class TestM2DPLoopClosing:
             scan = world.scan_at(gt[k], max_points=4096, seed=k)
             wire = m.add_frame(odom[k], scan, stamp=0.1 * k)
             if wire is not None:
-                info = m.spin_once()
+                info = m.spin_once(now=1.0 * k)  # deterministic cadence: optimize each spin
                 if info.get("loop"):
                     loops += 1
         m.optimize()

@@ -203,7 +203,10 @@ class TestEndToEnd:
             scan = sim.scan_at(gt[k], seed=k)
             wire = m.add_frame(odom[k], scan, stamp=float(k))
             if wire is not None:
-                info = m.spin_once()
+                # simulated clock: wall-clock throttling makes the
+                # drain cadence (and thus the loop set) depend on
+                # machine load — deterministic tests must drive it
+                info = m.spin_once(now=1.0 * k)
                 if info.get("loop"):
                     loops += 1
         m.optimize()

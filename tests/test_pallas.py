@@ -203,3 +203,137 @@ class TestMaxImagePallas:
         ))
         assert abs(img[0, 0] - 7.321) < 64.0 / pk.MB_K**pk.MB_PASSES + 1e-5
         assert np.abs(img).sum() == img[0, 0]
+
+
+class TestICPMomentsFused:
+    """Fused NN+Kabsch-moments kernel (one Pallas pass per ICP iteration)."""
+
+    def _inputs(self, B=3, Nq=256, Nt=1024, seed=0):
+        rng = np.random.RandomState(seed)
+        src = rng.uniform(-20, 20, (B, Nq, 3)).astype(np.float32)
+        smask = rng.rand(B, Nq) > 0.1
+        tgt = rng.uniform(-20, 20, (B, Nt, 3)).astype(np.float32)
+        tmask = rng.rand(B, Nt) > 0.1
+        payload = np.concatenate(
+            [
+                np.where(tmask[:, :, None], tgt, 1e6).transpose(0, 2, 1),
+                tmask[:, None, :].astype(np.float32),
+            ],
+            axis=1,
+        )
+        src4 = np.concatenate(
+            [src.transpose(0, 2, 1), smask[:, None, :].astype(np.float32)],
+            axis=1,
+        )
+        pose_rows = np.zeros((B, 128), np.float32)
+        for b in range(B):
+            a = 0.2 * b
+            R = np.array(
+                [
+                    [np.cos(a), -np.sin(a), 0],
+                    [np.sin(a), np.cos(a), 0],
+                    [0, 0, 1],
+                ]
+            )
+            pose_rows[b, 0:9] = R.reshape(-1)
+            pose_rows[b, 9:12] = [1.0 * b, -2.0, 0.5]
+        return src4, payload, pose_rows
+
+    def test_kernel_matches_reference(self):
+        from scl_slam_tpu.ops import pallas_kernels as pk
+
+        src4, payload, pose_rows = self._inputs()
+        active = jnp.asarray([1, 1, 0], jnp.int32)
+        m_ref = pk.icp_moments_reference(
+            jnp.asarray(src4), jnp.asarray(payload),
+            jnp.asarray(pose_rows), active.astype(bool), 5.0,
+        )
+        m_pal = pk.icp_moments_batched_pallas(
+            jnp.asarray(src4), jnp.asarray(payload),
+            jnp.asarray(pose_rows), active, 5.0, interpret=True,
+        )
+        a, b = np.asarray(m_ref)[:, :18], np.asarray(m_pal)[:, :18]
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1.0)
+        assert rel.max() < 1e-5
+        assert np.abs(np.asarray(m_pal)[2]).max() == 0.0  # inactive lane
+
+    def test_fused_stage_matches_selection_stage(self, monkeypatch):
+        """The fused moments-based ICP stage converges to the same pose and
+        fitness as the selection-based stage (bit-identical semantics up to
+        reduction order)."""
+        import functools
+
+        from scl_slam_tpu.geometry import se3
+        from scl_slam_tpu.ops import pallas_kernels as pk
+        from scl_slam_tpu.ops import pointcloud as pc
+        from scl_slam_tpu.ops import registration as reg
+
+        # CPU runs the kernel in interpret mode through the reference
+        # implementation (bitwise-equivalent math)
+        monkeypatch.setattr(
+            pk,
+            "icp_moments_batched_pallas",
+            lambda s4, p4, pr, a, mcd, interpret=False: (
+                pk.icp_moments_reference(s4, p4, pr, a.astype(bool), mcd)
+            ),
+        )
+
+        rng = np.random.RandomState(3)
+        B, Nq, Nt = 2, 256, 1024
+        # structured scene so ICP has a real optimum
+        base = rng.uniform(-15, 15, (Nt, 3)).astype(np.float32)
+        base[:, 2] = 0.3 * np.sin(base[:, 0]) + 0.2 * base[:, 1]
+        tgt = np.stack([base, base + [0.5, 0, 0]])
+        src = tgt[:, :Nq].copy()
+        # true offset to recover
+        yaw = 0.05
+        Rz = np.array(
+            [
+                [np.cos(yaw), -np.sin(yaw), 0],
+                [np.sin(yaw), np.cos(yaw), 0],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        src = src @ Rz.T + np.asarray([0.3, -0.2, 0.1], np.float32)
+        source = pc.Cloud(jnp.asarray(src), jnp.ones((B, Nq), bool))
+        target = pc.Cloud(jnp.asarray(tgt), jnp.ones((B, Nt), bool))
+        init = se3.identity((B,))
+        active = jnp.ones((B,), bool)
+
+        # force the fused path despite the CPU backend (and despite the
+        # flag's perf-neutral default-OFF)
+        monkeypatch.setattr(reg, "FUSED_ICP", True)
+        monkeypatch.setattr(
+            reg.jax, "default_backend", lambda: "tpu", raising=False
+        )
+        res_fused = reg.icp_batched(
+            source, target, init, active, max_iters=20,
+            max_corr_dist=5.0, tol=1e-5,
+        )
+        monkeypatch.undo()  # restore backend for the baseline
+        monkeypatch.setattr(
+            pk,
+            "icp_moments_batched_pallas",
+            lambda s4, p4, pr, a, mcd, interpret=False: (
+                pk.icp_moments_reference(s4, p4, pr, a.astype(bool), mcd)
+            ),
+        )
+        res_sel = reg.icp_batched(
+            source, target, init, active, max_iters=20,
+            max_corr_dist=5.0, tol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_fused.pose.t), np.asarray(res_sel.pose.t),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_fused.pose.R), np.asarray(res_sel.pose.R),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_fused.fitness), np.asarray(res_sel.fitness),
+            rtol=0.05, atol=1e-4,
+        )
+        # both recover the injected offset
+        assert np.abs(np.asarray(res_fused.fitness)).max() < 0.05

@@ -130,3 +130,72 @@ class TestRansac:
         )
         out = f(source, target, jax.random.PRNGKey(11))
         assert np.isfinite(float(out.inlier_ratio))
+
+
+class TestHopelessLaneExit:
+    """gate_fitness enables an early freeze ONLY for lanes that are both
+    stalled and >= HOPELESS_MARGIN x above the accept gate — it must never
+    change the outcome of a lane that ends anywhere near the gate."""
+
+    def _true_pair(self, key, scale=20.0):
+        target = random_cloud(key, 800, 1024, scale=scale)
+        gt = known_transform(dtheta=0.1, dt=(0.8, -0.5, 0.1))
+        src_pts = se3.transform_points(se3.inverse(gt), target.xyz[:800])
+        source = pc.from_points(np.asarray(src_pts), 1024)
+        return source, target, gt
+
+    def test_gated_matches_ungated_on_true_loop(self):
+        source, target, gt = self._true_pair(jax.random.PRNGKey(20))
+        base = reg.icp(source, target, max_iters=25, max_corr_dist=5.0,
+                       tol=1e-4)
+        gated = reg.icp(source, target, max_iters=25, max_corr_dist=5.0,
+                        tol=1e-4, gate_fitness=0.3)
+        # a converging true loop is never near the hopeless region: results
+        # must be bitwise identical (the exit condition is simply false)
+        np.testing.assert_array_equal(np.asarray(base.pose.R),
+                                      np.asarray(gated.pose.R))
+        np.testing.assert_array_equal(np.asarray(base.pose.t),
+                                      np.asarray(gated.pose.t))
+        assert float(gated.fitness) < 0.3
+
+    def test_junk_lane_still_fails_gate(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+        a = random_cloud(k1, 500, 512, scale=20.0)
+        b_pts = np.asarray(
+            jax.random.uniform(k2, (500, 3), minval=25, maxval=65)
+        )
+        b = pc.from_points(b_pts, 512)
+        gated = reg.icp(a, b, max_iters=30, max_corr_dist=10.0,
+                        tol=1e-4, gate_fitness=0.3)
+        # random non-overlapping geometry stalls far above the gate; the
+        # hopeless exit freezes it WITHOUT flipping the reject decision
+        assert float(gated.fitness) > 0.3
+
+    def test_batched_mixed_lanes(self):
+        source, target, gt = self._true_pair(jax.random.PRNGKey(22))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(23))
+        junk_src = random_cloud(k1, 500, 1024, scale=20.0)
+        junk_tgt_pts = np.asarray(
+            jax.random.uniform(k2, (500, 3), minval=25, maxval=65)
+        )
+        junk_tgt = pc.from_points(junk_tgt_pts, 1024)
+
+        stack = lambda *xs: jax.tree.map(
+            lambda *ls: jnp.stack(ls), *xs
+        )
+        src_b = stack(source, junk_src)
+        tgt_b = stack(target, junk_tgt)
+        res = reg.icp_batched(
+            src_b, tgt_b, se3.identity((2,)), jnp.array([True, True]),
+            max_iters=25, max_corr_dist=5.0, tol=1e-4,
+            gate_fitness=0.3,
+        )
+        solo = reg.icp(source, target, max_iters=25, max_corr_dist=5.0,
+                       tol=1e-4, gate_fitness=0.3)
+        # true lane converges to the solo answer; junk lane fails the gate
+        np.testing.assert_allclose(np.asarray(res.pose.R[0]),
+                                   np.asarray(solo.pose.R), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.pose.t[0]),
+                                   np.asarray(solo.pose.t), atol=1e-4)
+        assert float(res.fitness[0]) < 0.3
+        assert float(res.fitness[1]) > 0.3
