@@ -97,6 +97,17 @@ class LoopConfig:
     # then polish at full resolution from the coarse pose. 1 disables.
     # Fitness is always computed at full resolution.
     icp_coarse_factor: int = 4
+    # mid-resolution stage between coarse and full: iterate on every s-th
+    # TARGET point (source full) to a loose tolerance, so the full-
+    # resolution loop only polishes for a few iterations. The full-
+    # resolution stage still runs to icp_tol and fitness is always
+    # full-resolution — but the strided problem can park the warm start
+    # in a DIFFERENT attractor on partial-overlap loops (measured on the
+    # KITTI-density simulator: a corner loop landed 1.9 m away and its
+    # fitness crossed the 0.3 gate, 0.268 -> 0.308). Default 1 (off);
+    # a throughput knob for dense-overlap deployments, like
+    # scan_context.max_bin_points.
+    icp_target_stride: int = 1
     # submap assembly: +-25 keyframes (reference :1163-1186)
     near_keyframes: int = 25
     submap_capacity: int = 8192
@@ -164,6 +175,17 @@ class ScanContextParams:
     num_candidates: int = 10
     exclude_recent: int = 100
     distance_threshold: float = 0.14
+    # cap on raw-scan points entering the max-height binning (0 = all,
+    # the reference behavior — and the default: binning from a subsample
+    # measurably erodes the gate margin of borderline true revisits at
+    # KITTI density, e.g. 0.086 -> 0.117 vs the 0.14 gate at 16384 of a
+    # ~115k-pt scan; 8192 loses a true hit outright). Binning cost is
+    # points x bins and is the largest non-ICP pipeline term (~29 ms of a
+    # 130 ms replay chunk at 64k pts), so throughput-focused deployments
+    # can trade: stride decimation of the scan-ordered cloud is
+    # azimuth-uniform. Quality impact quantified in
+    # tests/test_realistic_proxy.py::TestBinningSubsample.
+    max_bin_points: int = 0
 
 
 @dataclass(frozen=True)

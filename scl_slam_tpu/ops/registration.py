@@ -258,6 +258,7 @@ def icp(
     tol: float = 1e-6,
     coarse_factor: int = 1,
     gate_fitness: float = jnp.inf,
+    target_stride: int = 1,
 ) -> ICPResult:
     """Point-to-point ICP with early exit at the update-norm tolerance.
 
@@ -280,6 +281,12 @@ def icp(
     correspondence distance). When finite, enables the hopeless-lane exit
     (see HOPELESS_MARGIN); never changes the result of a run that ends
     anywhere near the gate.
+
+    ``target_stride``: mid-resolution stage between the coarse stage and
+    the full-resolution loop — full source against every s-th target
+    point, to the loose coarse tolerance. The full-resolution loop still
+    runs to ``tol`` from that warm start (a few polish iterations instead
+    of the whole descent), and fitness stays full-resolution. 1 disables.
     """
     if init is None:
         init = se3.identity(dtype=source.xyz.dtype)
@@ -295,6 +302,13 @@ def icp(
     if f > 1 and src.shape[0] % f == 0 and payload.shape[1] % f == 0:
         init, _, _ = _icp_stage(
             src[::f], smask[::f], payload[:, ::f], init,
+            max_iters, max_corr_dist, COARSE_TOL_FACTOR * tol,
+            gate_fitness,
+        )
+    s = target_stride
+    if s > 1 and payload.shape[1] % s == 0:
+        init, _, _ = _icp_stage(
+            src, smask, payload[:, ::s], init,
             max_iters, max_corr_dist, COARSE_TOL_FACTOR * tol,
             gate_fitness,
         )
@@ -515,6 +529,7 @@ def icp_batched(
     tol: float = 1e-6,
     coarse_factor: int = 1,
     gate_fitness: float = jnp.inf,
+    target_stride: int = 1,
 ) -> ICPResult:
     """B independent point-to-point ICPs in one device program.
 
@@ -539,6 +554,9 @@ def icp_batched(
     (1/f^2 NN pairs per iteration) before the full-resolution polish;
     fitness always comes from full resolution. ``gate_fitness``: see
     :func:`icp` (enables the hopeless-lane exit when finite).
+    ``target_stride``: see :func:`icp` — mid-resolution stage (full
+    source x strided target) warm-starting the full-resolution loop.
+    Ignored on the fused-kernel path (its tile constraints pick shapes).
     """
     from . import pallas_kernels as pk
 
@@ -621,6 +639,17 @@ def icp_batched(
     if coarse_ok:
         R0, t0, _, _ = _icp_stage_batched(
             src[:, ::f], smask[:, ::f], payload[:, :, ::f],
+            R0, t0, done0, max_iters, max_corr_dist,
+            COARSE_TOL_FACTOR * tol, gate_fitness,
+        )
+    s = target_stride
+    if s > 1 and nt % s == 0:
+        # mid-resolution stage: full source against every s-th target
+        # point, to the loose tolerance — the full-resolution loop below
+        # then converges in a few polish iterations instead of carrying
+        # the whole descent at Nq x Nt NN cost per iteration
+        R0, t0, _, _ = _icp_stage_batched(
+            src, smask, payload[:, :, ::s],
             R0, t0, done0, max_iters, max_corr_dist,
             COARSE_TOL_FACTOR * tol, gate_fitness,
         )

@@ -521,6 +521,7 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
             tol=cfg.loop.icp_tol,
             coarse_factor=cfg.loop.icp_coarse_factor,
             gate_fitness=cfg.loop.history_fitness_score,
+            target_stride=cfg.loop.icp_target_stride,
         )
         corrected = se3.compose(icp_res.pose, init_pose)
         return icp_res.fitness, corrected.R, corrected.t
@@ -786,6 +787,7 @@ def _batch_body_prepared(
             tol=cfg.loop.icp_tol,
             coarse_factor=cfg.loop.icp_coarse_factor,
             gate_fitness=cfg.loop.history_fitness_score,
+            target_stride=cfg.loop.icp_target_stride,
         )
         corrected = se3.compose(res.pose, inits)
         return res.fitness, corrected.R, corrected.t

@@ -120,4 +120,5 @@ def scan_context_config(cfg: SlamConfig) -> sc.ScanContextConfig:
         num_candidates=p.num_candidates,
         exclude_recent=p.exclude_recent,
         distance_threshold=p.distance_threshold,
+        max_bin_points=p.max_bin_points,
     )

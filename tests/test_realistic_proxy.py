@@ -261,3 +261,45 @@ class TestEndToEndReferenceDefaults:
         # (measured 0.816 here; the old 0.8 bar was set under wall-clock
         # throttling, whose loop set differed by machine load)
         assert ate < 0.85 * ate_dead, f"ATE {ate:.2f} vs dead {ate_dead:.2f}"
+
+
+class TestBinningSubsample:
+    """scan_context.max_bin_points: the binning-volume/recall trade,
+    quantified at KITTI density. Documents WHY the default is 0 (full
+    scan): a 16k subsample keeps the reference 0.14 gate functional but
+    measurably erodes borderline true-revisit margins."""
+
+    def test_16k_subsample_keeps_gate_functional_but_erodes_margin(
+        self, world
+    ):
+        import dataclasses
+
+        scene, sim = world
+        lap0 = scene.circuit(lane_offset=0.0, step=1.0)
+        lap1 = scene.circuit(lane_offset=2.0, step=1.0)
+        pos1 = np.stack([T[:3, 3] for T in lap1])
+        scc_full = scan_context_config(ref_default_cfg())
+        scc_16k = dataclasses.replace(scc_full, max_bin_points=16384)
+
+        def desc(T, seed, scc):
+            return sc.make(
+                pc.from_points(sim.scan_at(T, seed=seed), RAW_CAP), scc
+            )
+
+        idxs = [60, 100, 150]
+        true_full, true_16k = [], []
+        for i in idxs:
+            j = int(np.linalg.norm(pos1 - lap0[i][:3, 3], axis=1).argmin())
+            for out, scc in ((true_full, scc_full), (true_16k, scc_16k)):
+                a = desc(lap0[i], seed=i, scc=scc)
+                b = desc(lap1[j], seed=1000 + i, scc=scc)
+                dist, _ = sc.shifted_cosine_distance(a.image, b.image[None])
+                out.append(float(dist[0]))
+        # gate still fires on the strong revisits at 16k
+        assert sum(d < 0.14 for d in true_16k) >= 2, true_16k
+        # but distances strictly erode vs full-scan binning — this is the
+        # measured cost that keeps max_bin_points=0 the default
+        assert all(s >= f - 1e-6 for s, f in zip(true_16k, true_full)), (
+            true_16k, true_full,
+        )
+        assert max(s - f for s, f in zip(true_16k, true_full)) > 0.005

@@ -199,3 +199,34 @@ class TestHopelessLaneExit:
                                    np.asarray(solo.pose.t), atol=1e-4)
         assert float(res.fitness[0]) < 0.3
         assert float(res.fitness[1]) > 0.3
+
+
+class TestTargetStride:
+    """icp(..., target_stride=s): mid-resolution warm-start stage. On a
+    well-overlapped pair the full-resolution polish must land at the same
+    optimum as the exact schedule; non-divisible strides fall back."""
+
+    def test_stride2_matches_exact_on_full_overlap(self):
+        key = jax.random.PRNGKey(30)
+        target = random_cloud(key, 800, 1024, scale=20.0)
+        gt = known_transform(dtheta=0.1, dt=(0.8, -0.5, 0.1))
+        src_pts = se3.transform_points(se3.inverse(gt), target.xyz[:800])
+        source = pc.from_points(np.asarray(src_pts), 1024)
+        r1 = reg.icp(source, target, max_iters=30, max_corr_dist=5.0,
+                     tol=1e-5, target_stride=1)
+        r2 = reg.icp(source, target, max_iters=30, max_corr_dist=5.0,
+                     tol=1e-5, target_stride=2)
+        np.testing.assert_allclose(np.asarray(r1.pose.t),
+                                   np.asarray(r2.pose.t), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(r1.pose.R),
+                                   np.asarray(r2.pose.R), atol=1e-4)
+        assert abs(float(r1.fitness) - float(r2.fitness)) < 1e-4
+
+    def test_non_divisible_stride_falls_back(self):
+        key = jax.random.PRNGKey(31)
+        target = random_cloud(key, 700, 1024, scale=20.0)
+        source = random_cloud(jax.random.fold_in(key, 1), 700, 1024)
+        # 1024 % 3 != 0: the mid stage must be skipped, not crash
+        r = reg.icp(source, target, max_iters=5, max_corr_dist=5.0,
+                    target_stride=3)
+        assert np.isfinite(float(r.inlier_frac))
