@@ -270,6 +270,119 @@ def nn_select_batched_pallas(
     return d[:, 0], sel
 
 
+def _nn_select_batched_mxu_kernel(
+    active_ref, q_ref, t_ref, d_ref, sel_ref, *, tq: int, tt: int
+):
+    """Batched fused NN+select, cross term on the MXU.
+
+    Same contract as :func:`_nn_select_batched_kernel`, different distance
+    evaluation: d2 = |q|^2 - 2 q.t + |t|^2 with the q.t term as ONE
+    [4, tq] x [4, tt] HIGHEST-precision MXU contraction (q row 3 is zero,
+    t row 3 is the mask — their product contributes nothing), cutting the
+    VPU work per (query, target) pair from 9 ops (3 x sub/mul/add) to 3
+    (scale + 2 adds). The expanded form loses exactness to cancellation —
+    absolute d2 error ~ eps * |coords|^2, centimeter-scale at recentred
+    submap coordinates — so it is for SELECTION ordering only: callers
+    recentre the clouds first and recompute the selected pair's distance
+    exactly outside (see registration._matches_batched). The returned d
+    is the approximate running best; do not gate on it.
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        d_ref[0, 0, :] = jnp.full((tq,), jnp.inf, jnp.float32)
+        sel_ref[0] = jnp.zeros_like(sel_ref[0])
+
+    @pl.when(active_ref[b] != 0)
+    def _():
+        q = q_ref[0]                                    # [4, tq]
+        t = t_ref[0]                                    # [P, tt]
+        t4 = t[0:4]
+        # cross[tq, tt] = sum_c q[c] * t[c] on the MXU (exact-f32 6-pass)
+        cross = jax.lax.dot_general(
+            q,
+            t4,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        qq = q[0] * q[0] + q[1] * q[1] + q[2] * q[2]    # [tq]
+        tt_sq = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]  # [tt]
+        d2 = (qq.reshape(tq, 1) - 2.0 * cross) + tt_sq.reshape(1, tt)
+        tile_best = jnp.min(d2, axis=1)
+        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        one_hot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tq, tt), 1)
+            == tile_arg[:, None]
+        ).astype(jnp.float32)
+        sel_tile = jax.lax.dot_general(
+            t,
+            one_hot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                               # [P, tq]
+        prev_d = d_ref[0, 0, :]
+        take = tile_best < prev_d
+        d_ref[0, 0, :] = jnp.where(take, jnp.maximum(tile_best, 0.0), prev_d)
+        sel_ref[0] = jnp.where(take[None, :], sel_tile, sel_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_select_batched_mxu_pallas(
+    query: jax.Array,
+    payload: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+):
+    """MXU-form variant of :func:`nn_select_batched_pallas`.
+
+    Same shapes/contract, but distances use the expanded |q|^2-2qt+|t|^2
+    form with the cross term on the MXU — SELECTION-ORDERING quality only
+    (absolute d2 error ~ eps * |coords|^2; recentre first and recompute
+    the winner's distance exactly outside). Returns (approx sq_dist
+    [B, Nq], sel [B, P, Nq]).
+    """
+    Bn, nq = query.shape[0], query.shape[1]
+    P, nt = payload.shape[1], payload.shape[2]
+    tt = pick_target_tile(nt)
+    assert nq % TQ == 0 and tt is not None and P % 4 == 0, (nq, nt, P)
+    qH = jnp.concatenate(
+        [
+            jnp.swapaxes(query, -1, -2),
+            jnp.zeros((Bn, 1, nq), query.dtype),
+        ],
+        axis=1,
+    )                                                           # [B, 4, Nq]
+
+    d, sel = pl.pallas_call(
+        functools.partial(_nn_select_batched_mxu_kernel, tq=TQ, tt=tt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bn, nq // TQ, nt // tt),
+            in_specs=[
+                pl.BlockSpec((1, 4, TQ), lambda b, i, j, a: (b, 0, i)),
+                pl.BlockSpec((1, P, tt), lambda b, i, j, a: (b, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, TQ), lambda b, i, j, a: (b, 0, i)),
+                pl.BlockSpec((1, P, TQ), lambda b, i, j, a: (b, 0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Bn, 1, nq), jnp.float32),
+            jax.ShapeDtypeStruct((Bn, P, nq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(active.astype(jnp.int32), qH, payload)
+    return d[:, 0], sel
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbors_pallas(
     query: jax.Array, target: jax.Array, interpret: bool = False

@@ -168,6 +168,18 @@ STALL_ABS_FACTOR = 100.0
 # matters at larger-than-bench shapes; see scripts/profile_icp_fused_ab.py.
 FUSED_ICP = False
 
+# trace-time switch for the MXU-form NN selection inside batched ICP
+# iterations (see _matches_batched / pallas_kernels._nn_select_batched_
+# mxu_kernel). Selection ordering only — the winner's distance is always
+# recomputed exactly, and the final fitness pass always uses the exact
+# kernel. Default OFF: the on-chip interleaved A/B measured it ~23%
+# SLOWER end-to-end (1106 vs 1431 frames/s, scripts/profile_mxu_nn_ab.py)
+# — the cm-scale selection noise flips near-tie winners between
+# iterations, so lanes stop reaching `delta < tol` and burn extra
+# iterations to the stall exit, outweighing the ~3x VPU op reduction
+# (and a K=3 HIGHEST-precision contraction is a poor MXU fit anyway).
+MXU_NN = False
+
 # Hopeless-lane exit: a lane whose updates have stalled AND whose current
 # mean-square correspondence distance is still HOPELESS_MARGIN x the
 # caller's accept gate (``gate_fitness``) is frozen: flipping the gate
@@ -331,9 +343,21 @@ def icp(
     return ICPResult(pose, fitness, inlier_frac, converged)
 
 
-def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist):
+def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist,
+                     exact=False):
     """Batched NN pass for the given active-lane mask; frozen lanes skip
-    all tile compute in the predicated kernel (d2=inf, sel=0 for them)."""
+    all tile compute in the predicated kernel (d2=inf, sel=0 for them).
+
+    On TPU the default path is the MXU-form kernel (cross term as one
+    HIGHEST-precision matmul, ~3x fewer VPU ops per pair): SELECTION runs
+    on centimeter-accurate recentred distances, then the winner's distance
+    is recomputed exactly in per-coordinate f32 — so the d2/good this
+    returns are exact GIVEN the selection, and only near-tie neighbor
+    choices (both genuinely near) can differ from the exact kernel.
+    ``exact=True`` forces the exact per-coordinate kernel — used for the
+    final fitness pass, whose value feeds the accept gate and the loop
+    factor noise model.
+    """
     from . import pallas_kernels as pk
 
     nq, nt = src.shape[1], payload.shape[2]
@@ -343,11 +367,31 @@ def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist):
         and pk.pick_target_tile(nt) is not None
     )
     moved = se3.transform_points(pose, src)                 # [B, N, 3]
-    if predicated:
-        d2, sel = pk.nn_select_batched_pallas(moved, payload, lanes)
+    if predicated and not exact and MXU_NN:
+        # recentre at the per-lane valid-target centroid: the expanded-form
+        # absolute error is eps * |coords|^2, so selection quality needs
+        # coordinates at submap scale, not map scale
+        tmask = payload[:, 3] > 0.5                          # [B, Nt]
+        msum = jnp.maximum(jnp.sum(tmask, axis=-1), 1)
+        center = (
+            jnp.sum(jnp.where(tmask[:, None, :], payload[:, 0:3], 0.0), -1)
+            / msum[:, None]
+        )                                                    # [B, 3]
+        payload_c = payload.at[:, 0:3, :].add(-center[:, :, None])
+        _, sel = pk.nn_select_batched_mxu_pallas(
+            moved - center[:, None, :], payload_c, lanes
+        )
+        sel = sel.at[:, 0:3, :].add(center[:, :, None])
+        matched = jnp.swapaxes(sel[:, :3], -1, -2)           # [B, N, 3]
+        # exact distance of the selected pair (per-coordinate f32)
+        d2 = jnp.sum(jnp.square(moved - matched), axis=-1)
+        d2 = jnp.where(lanes[:, None], d2, jnp.inf)
     else:
-        d2, sel = jax.vmap(nearest_select)(moved, payload)
-    matched = jnp.swapaxes(sel[:, :3], -1, -2)              # [B, N, 3]
+        if predicated:
+            d2, sel = pk.nn_select_batched_pallas(moved, payload, lanes)
+        else:
+            d2, sel = jax.vmap(nearest_select)(moved, payload)
+        matched = jnp.swapaxes(sel[:, :3], -1, -2)           # [B, N, 3]
     good = (
         smask
         & (sel[:, 3] > 0.5)
@@ -660,7 +704,7 @@ def icp_batched(
     pose = se3.Pose(R, t)
 
     _moved, d2, _matched, good = _matches_batched(
-        src, smask, payload, pose, active, max_corr_dist
+        src, smask, payload, pose, active, max_corr_dist, exact=True
     )
     n_good = jnp.sum(good, axis=-1)
     fitness = jnp.where(

@@ -337,3 +337,62 @@ class TestICPMomentsFused:
         )
         # both recover the injected offset
         assert np.abs(np.asarray(res_fused.fitness)).max() < 0.05
+
+
+class TestMXUSelectKernel:
+    """MXU-form NN selection: same winners as the exact kernel on
+    recentred coordinates (up to genuine near-ties), exact d2 after the
+    caller's recompute."""
+
+    def test_selection_matches_exact_on_recentred_coords(self):
+        from scl_slam_tpu.ops import pallas_kernels as pk
+
+        rng = np.random.RandomState(0)
+        B, Nq, Nt = 2, 256, 1024
+        q = rng.uniform(-40, 40, (B, Nq, 3)).astype(np.float32)
+        tgt = rng.uniform(-40, 40, (B, Nt, 3)).astype(np.float32)
+        tmask = rng.rand(B, Nt) > 0.1
+        payload = np.concatenate(
+            [
+                np.where(tmask[:, :, None], tgt, 1e6).transpose(0, 2, 1),
+                tmask[:, None, :].astype(np.float32),
+            ],
+            axis=1,
+        )
+        active = jnp.asarray([1, 1], jnp.int32)
+        d_mxu, sel_mxu = pk.nn_select_batched_mxu_pallas(
+            jnp.asarray(q), jnp.asarray(payload), active, interpret=True
+        )
+        d_ex, sel_ex = pk.nn_select_batched_pallas(
+            jnp.asarray(q), jnp.asarray(payload), active, interpret=True
+        )
+        m_mxu = np.swapaxes(np.asarray(sel_mxu)[:, :3], -1, -2)
+        m_ex = np.swapaxes(np.asarray(sel_ex)[:, :3], -1, -2)
+        # exact-recompute distances of each kernel's winner
+        d2_mxu = np.sum((q - m_mxu) ** 2, axis=-1)
+        d2_ex = np.sum((q - m_ex) ** 2, axis=-1)
+        # winners may differ only on near-ties: the MXU winner's true
+        # distance can exceed the exact winner's by at most the expanded
+        # form's absolute error at these coordinate scales
+        assert np.all(d2_mxu <= d2_ex + 5e-3), (d2_mxu - d2_ex).max()
+        # and the vast majority of winners are identical
+        same = np.mean(np.all(m_mxu == m_ex, axis=-1))
+        assert same > 0.99, same
+
+    def test_inactive_lane_returns_zero_sel(self):
+        from scl_slam_tpu.ops import pallas_kernels as pk
+
+        rng = np.random.RandomState(1)
+        q = rng.uniform(-10, 10, (2, 256, 3)).astype(np.float32)
+        payload = np.concatenate(
+            [
+                rng.uniform(-10, 10, (2, 3, 1024)).astype(np.float32),
+                np.ones((2, 1, 1024), np.float32),
+            ],
+            axis=1,
+        )
+        active = jnp.asarray([1, 0], jnp.int32)
+        _, sel = pk.nn_select_batched_mxu_pallas(
+            jnp.asarray(q), jnp.asarray(payload), active, interpret=True
+        )
+        assert float(jnp.abs(sel[1]).max()) == 0.0
