@@ -17,7 +17,11 @@ gather numbers were dispatch floor), prep+ingest+retrieval ~74 ms.
 Fresh state per rep; 3 reps per variant, best-of; host copy ends timing.
 """
 import dataclasses
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
