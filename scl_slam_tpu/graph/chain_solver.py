@@ -97,8 +97,11 @@ def chain_solve(
     ``loop_capacity``: static bound on non-chain factors (loops + any
     stray edges). When exceeded, ``loop_overflow`` is True and rows past
     the capacity are EXCLUDED from the solve (their factors remain in the
-    graph; callers should fall back — see
-    ``runtime/mapper.py::_drain_queue_and_optimize``).
+    graph). This solver is currently the offline/exact reference path
+    (``docs/solver_scaling.md``) — the runtime drain uses
+    ``graph/solver.py::solve`` — so any caller must check
+    ``loop_overflow`` itself and fall back (e.g. to ``solver.solve``)
+    rather than silently dropping loop factors past the capacity.
     """
     n_poses = poses.t.shape[0]
     E = g.edge_capacity

@@ -120,8 +120,9 @@ def sharded_solve(
     |dx[:, 3:]| in m — the ``rotThres``/``poseThres`` early-stop). The scan
     length stays static (XLA needs it); converged iterations become no-ops,
     which is the fixed-cost equivalent of the reference's early break. A
-    threshold <= 0 disables its test (both must pass to freeze, matching
-    the reference's two-stage stopping rule).
+    threshold <= 0 makes its test always-pass (so e.g. rotation_change
+    _threshold=0 gives translation-only stopping); if BOTH are <= 0 the
+    early-stop is disabled entirely and all ``gn_iters`` run.
     """
     from ..graph.solver import _edge_jac, _edge_residual, _prior_jac, _prior_residual
 
@@ -227,7 +228,13 @@ def sharded_solve(
             )
             rot_chg = jnp.max(jnp.linalg.norm(dx[:, :3], axis=-1))
             pose_chg = jnp.max(jnp.linalg.norm(dx[:, 3:], axis=-1))
-            done = done | ((rot_chg < rthres) & (pose_chg < pthres))
+            # a <=0 threshold means "no test on this component" (always
+            # passes); if BOTH are <=0 the early-stop is disabled entirely
+            # (otherwise every iteration would freeze immediately)
+            rok = jnp.where(rthres > 0, rot_chg < rthres, True)
+            pok = jnp.where(pthres > 0, pose_chg < pthres, True)
+            enabled = (rthres > 0) | (pthres > 0)
+            done = done | (enabled & rok & pok)
 
             # chi2 (global): local residual sums + psum
             chi_local = jnp.sum(

@@ -37,19 +37,47 @@ def clean_cache():
     shutil.rmtree(CACHE, ignore_errors=True)
 
 
+# stdout markers of an xdist worker dying (the cache-deserializer SEGFAULT
+# kills a worker, not the master, so the master exits 1 like a plain failure)
+CRASH_MARKERS = ("crashed", "Segmentation fault", "SIGSEGV", "SIGABRT",
+                 "SIGBUS", "INTERNALERROR")
+
+
 def run_chunk(files: list[str], timeout: int) -> tuple[bool, str]:
-    """Run one pytest chunk in its own process group. Returns (ok, why)."""
+    """Run one pytest chunk in its own process group.
+
+    Returns (ok, why); ``why`` starts with "crash"/"timeout" for the
+    recoverable modes that warrant a clean-compile-cache retry (CLAUDE.md:
+    cache corruption presents as a SEGFAULT in the jax cache deserializer —
+    a signal exit or a crashed xdist worker — not only as a hang).
+    """
     proc = subprocess.Popen(
         [sys.executable, "-m", "pytest", "-q", *files],
         cwd=REPO,
         start_new_session=True,   # own PGID: we only ever kill exactly it
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        errors="replace",
     )
     try:
-        rc = proc.wait(timeout=timeout)
-        return rc == 0, f"exit {rc}"
+        out, _ = proc.communicate(timeout=timeout)
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        rc = proc.returncode
+        if rc == 0:
+            return True, "exit 0"
+        if rc < 0:
+            return False, f"crash (signal {-rc})"
+        if any(m in out for m in CRASH_MARKERS):
+            return False, f"crash (worker died, exit {rc})"
+        return False, f"exit {rc}"
     except subprocess.TimeoutExpired:
         os.killpg(proc.pid, signal.SIGKILL)
-        proc.wait()
+        out, _ = proc.communicate()
+        if out:
+            sys.stdout.write(out)
+            sys.stdout.flush()
         return False, "timeout (killed process group)"
 
 
@@ -93,11 +121,12 @@ def main() -> int:
               flush=True)
         t0 = time.time()
         ok, why = run_chunk(chunk, args.timeout)
-        if not ok and "timeout" in why:
-            # only HANGS get the clean-cache retry (the observed hang modes
-            # are cache corruption / the futex stall); a plain test failure
-            # is a genuine failure — re-running with a cold cache would just
-            # burn ~30 min of recompiles to fail again
+        if not ok and (why.startswith("timeout") or why.startswith("crash")):
+            # HANGS and CRASHES get the clean-cache retry (the observed
+            # recoverable modes are cache-corruption SEGFAULTs — a signal
+            # exit or a dead xdist worker — and the futex stall); a plain
+            # test failure is a genuine failure — re-running with a cold
+            # cache would just burn ~30 min of recompiles to fail again
             print(f"[suite] chunk {ci + 1} FAILED ({why}); retrying once "
                   f"with a clean compile cache", flush=True)
             clean_cache()
