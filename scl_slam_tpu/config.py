@@ -108,6 +108,13 @@ class LoopConfig:
     # a throughput knob for dense-overlap deployments, like
     # scan_context.max_bin_points.
     icp_target_stride: int = 1
+    # report ICP fitness from the final full-resolution iteration's
+    # statistics instead of one more NN pass at the converged pose: the
+    # value differs by O(icp_tol x point scale) — orders of magnitude
+    # below gate relevance — and saves a whole source x target NN pass
+    # per verification (the verify path's unit of cost). Exactness knob:
+    # set False to recompute fitness at the exact returned pose.
+    icp_reuse_final_fitness: bool = True
     # submap assembly: +-25 keyframes (reference :1163-1186)
     near_keyframes: int = 25
     submap_capacity: int = 8192

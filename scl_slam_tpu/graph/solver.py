@@ -247,9 +247,18 @@ def solve(
                         )
                     )                                            # [C, 6]
                     Dl_eq = Dl * sl[:, :, None] * sl[:, None, :] + 1e-5 * eye6
-                    jacobi_levels.append(
-                        (cidx, sl, jnp.linalg.cholesky(Dl_eq))
+                    # same f32-noise escalation as the dense coarsest level
+                    # (empty supernodes at low occupancy); a block whose
+                    # factorization stays NaN falls back to identity
+                    Ll = jnp.linalg.cholesky(Dl_eq)
+                    badb = jnp.any(
+                        jnp.isnan(Ll), axis=(-2, -1), keepdims=True
                     )
+                    Ll = jnp.where(
+                        badb, jnp.linalg.cholesky(Dl_eq + 1e-2 * eye6), Ll
+                    )
+                    Ll = jnp.where(jnp.isnan(Ll), eye6, Ll)
+                    jacobi_levels.append((cidx, sl, Ll))
                 else:
                     # Coarsest: dense Galerkin PᵀHP, one MXU Cholesky. The
                     # matrix is assembled FLAT by index arithmetic: a scatter
@@ -415,7 +424,30 @@ def solve(
                     Hc_eq = Hc * sc[:, None] * sc[None, :] + 1e-6 * jnp.eye(
                         n6, dtype=JiT.dtype
                     )
+                    # Shift ladder: the Galerkin coarse matrix is PSD in
+                    # exact arithmetic, but when most supernodes are EMPTY
+                    # (fixed-capacity pose arrays at low occupancy — e.g. a
+                    # fresh fleet with 70 active poses in an 8192-slot
+                    # array) the equilibrated matrix is nearly rank-
+                    # deficient and f32 assembly noise drives its smallest
+                    # eigenvalues negative past the 1e-6 shift (measured:
+                    # -2e-3 -> Cholesky NaN -> NaN poses in the live fleet
+                    # drain). Escalate the shift until the factorization is
+                    # finite; if even the largest fails, drop the coarse
+                    # term entirely (the additive preconditioner stays SPD
+                    # without it, and x0/post-correction recompute honest
+                    # residuals around whatever coarse_apply returns).
+                    eyen = jnp.eye(n6, dtype=JiT.dtype)
                     Lc = jnp.linalg.cholesky(Hc_eq)
+                    coarse_ok = jnp.ones((), JiT.dtype)
+                    for shift in (1e-3, 1e-1):
+                        retry = jnp.linalg.cholesky(Hc_eq + shift * eyen)
+                        bad = jnp.any(jnp.isnan(Lc))
+                        Lc = jnp.where(bad, retry, Lc)
+                    coarse_ok = jnp.where(
+                        jnp.any(jnp.isnan(Lc)), 0.0, coarse_ok
+                    )
+                    Lc = jnp.where(jnp.isnan(Lc), eyen, Lc)
                     top = (cn0, cn1, P0, P1, C)
 
             def coarse_apply(v):
@@ -437,7 +469,7 @@ def solve(
                 y = y + jax.scipy.linalg.cho_solve(
                     (Lc, True), r_eq - Hc_eq @ y
                 )
-                yc = (y * sc).reshape(C_, 6)
+                yc = (y * sc).reshape(C_, 6) * coarse_ok
                 return jnp.einsum("nab,nb->na", P0_, yc[c0_]) + jnp.einsum(
                     "nab,nb->na", P1_, yc[c1_]
                 )

@@ -63,6 +63,63 @@ def kabsch(
     return se3.Pose(R, t)
 
 
+def rigid_from_triangles(src: jax.Array, dst: jax.Array) -> se3.Pose:
+    """Closed-form rigid transform from 3-point correspondences.
+
+    Builds an orthonormal frame on each triangle (edge, in-plane normal
+    component, plane normal) and maps one onto the other: R = F_dst F_src^T,
+    t from centroid alignment. Exact for congruent triples; for noisy ones
+    it is the standard RANSAC minimal-sample estimator — hypotheses don't
+    need least-squares optimality (scoring + the inlier refine do). Unlike
+    :func:`kabsch` it involves NO SVD: thousands of per-hypothesis 3x3
+    SVDs are the dominant cost of batched RANSAC on TPU (XLA lowers small
+    batched SVD poorly), while this is a handful of VPU ops.
+
+    src/dst: [..., 3, 3] (three points x xyz). Degenerate (collinear /
+    duplicated) triples produce finite but non-orthonormal (down to zero)
+    frames — callers MUST gate them out with :func:`triangles_ok`: a
+    zero-rotation "hypothesis" maps every point to one target and racks
+    up inliers precisely on the collapsed many-to-one NN correspondences
+    of a FALSE match (measured: a 37 m-wrong loop accepted at ratio 0.52
+    because 535/1024 sources matched one submap boundary point).
+    """
+    eps = 1e-12
+
+    def frame(p):
+        u = p[..., 1, :] - p[..., 0, :]
+        v = p[..., 2, :] - p[..., 0, :]
+        e1 = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + eps)
+        w = jnp.cross(e1, v)
+        e3 = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + eps)
+        e2 = jnp.cross(e3, e1)
+        return jnp.stack([e1, e2, e3], axis=-1)            # columns
+
+    Fs = frame(src)
+    Fd = frame(dst)
+    R = Fd @ jnp.swapaxes(Fs, -1, -2)
+    cs = jnp.mean(src, axis=-2)
+    cd = jnp.mean(dst, axis=-2)
+    t = cd - jnp.einsum("...ij,...j->...i", R, cs)
+    return se3.Pose(R, t)
+
+
+def triangles_ok(p: jax.Array, min_sin: float = 1e-2) -> jax.Array:
+    """Validity of 3-point minimal samples: non-collinear, distinct.
+
+    p [..., 3, 3]. True where the triangle's sine of the opening angle
+    exceeds ``min_sin`` (|u x v| > min_sin |u||v|, with |u|,|v| > 0).
+    Standard RANSAC sample rejection: a degenerate triple does not
+    determine a rigid transform, and scoring it anyway lets collapse
+    artifacts win (see :func:`rigid_from_triangles`).
+    """
+    u = p[..., 1, :] - p[..., 0, :]
+    v = p[..., 2, :] - p[..., 0, :]
+    nu = jnp.linalg.norm(u, axis=-1)
+    nv = jnp.linalg.norm(v, axis=-1)
+    area = jnp.linalg.norm(jnp.cross(u, v), axis=-1)
+    return (nu > 1e-6) & (nv > 1e-6) & (area > min_sin * nu * nv)
+
+
 def nearest_neighbors(
     query: jax.Array, target: jax.Array, block: int = 256
 ) -> tuple[jax.Array, jax.Array]:
@@ -211,15 +268,17 @@ def _icp_stage(
     saves real NN passes — the per-iteration cost (~53 us at 1024x8192)
     dominates the verification path and typical yaw-initialized loops
     converge well before the max_iters budget. Returns
-    (pose, delta, converged).
+    (pose, delta, converged, last_ms, last_ngood) — the last two are the
+    fitness statistics of the final iteration (at the pose one sub-``tol``
+    update before the returned one; see ``_icp_stage_batched``).
     """
 
     def cond(carry):
-        i, _pose, _delta, _stall, done = carry
+        i, _pose, _delta, _stall, done, _ms, _ng = carry
         return (i < max_iters) & ~done
 
     def body(carry):
-        i, pose, prev_delta, stall, _ = carry
+        i, pose, prev_delta, stall, _, _ms, _ng = carry
         moved = se3.transform_points(pose, src)
         d2, sel = nearest_select(moved, payload)
         matched = sel[:3].T
@@ -245,9 +304,9 @@ def _icp_stage(
         stall_armed = delta < STALL_ABS_FACTOR * tol
         hopeless = stalled & (ms > HOPELESS_MARGIN * gate_fitness)
         done = (delta < tol) | (stall_armed & stalled) | hopeless
-        return (i + 1, new_pose, delta, stall, done)
+        return (i + 1, new_pose, delta, stall, done, ms, n_good)
 
-    _, pose, delta, _stall, _done = jax.lax.while_loop(
+    _, pose, delta, _stall, _done, last_ms, last_ng = jax.lax.while_loop(
         cond,
         body,
         (
@@ -256,9 +315,11 @@ def _icp_stage(
             jnp.array(jnp.inf, src.dtype),
             jnp.array(0),
             jnp.array(False),
+            jnp.array(jnp.inf, src.dtype),
+            jnp.array(0.0, src.dtype),
         ),
     )
-    return pose, delta, delta < tol
+    return pose, delta, delta < tol, last_ms, last_ng
 
 
 def icp(
@@ -271,6 +332,7 @@ def icp(
     coarse_factor: int = 1,
     gate_fitness: float = jnp.inf,
     target_stride: int = 1,
+    reuse_final_fitness: bool = False,
 ) -> ICPResult:
     """Point-to-point ICP with early exit at the update-norm tolerance.
 
@@ -312,33 +374,41 @@ def icp(
 
     f = coarse_factor
     if f > 1 and src.shape[0] % f == 0 and payload.shape[1] % f == 0:
-        init, _, _ = _icp_stage(
+        init, _, _, _, _ = _icp_stage(
             src[::f], smask[::f], payload[:, ::f], init,
             max_iters, max_corr_dist, COARSE_TOL_FACTOR * tol,
             gate_fitness,
         )
     s = target_stride
     if s > 1 and payload.shape[1] % s == 0:
-        init, _, _ = _icp_stage(
+        init, _, _, _, _ = _icp_stage(
             src, smask, payload[:, ::s], init,
             max_iters, max_corr_dist, COARSE_TOL_FACTOR * tol,
             gate_fitness,
         )
-    pose, delta, converged = _icp_stage(
+    pose, delta, converged, last_ms, last_ng = _icp_stage(
         src, smask, payload, init, max_iters, max_corr_dist, tol,
         gate_fitness,
     )
 
-    # final fitness with converged pose
-    moved = se3.transform_points(pose, src)
-    d2, sel = nearest_select(moved, payload)
-    good = smask & (sel[3] > 0.5) & (d2 < max_corr_dist * max_corr_dist)
-    n_good = jnp.sum(good)
-    fitness = jnp.where(
-        n_good > 0,
-        jnp.sum(jnp.where(good, d2, 0.0)) / jnp.maximum(n_good, 1),
-        jnp.inf,  # no correspondences: infinitely bad, never passes the gate
-    )
+    if reuse_final_fitness:
+        # fitness from the final full-resolution iteration (bounded
+        # O(tol) value change; see icp_batched's inline note)
+        n_good = last_ng
+        fitness = jnp.where(n_good > 0, last_ms, jnp.inf)
+    else:
+        # final fitness with converged pose
+        moved = se3.transform_points(pose, src)
+        d2, sel = nearest_select(moved, payload)
+        good = (
+            smask & (sel[3] > 0.5) & (d2 < max_corr_dist * max_corr_dist)
+        )
+        n_good = jnp.sum(good)
+        fitness = jnp.where(
+            n_good > 0,
+            jnp.sum(jnp.where(good, d2, 0.0)) / jnp.maximum(n_good, 1),
+            jnp.inf,  # no correspondences: never passes the gate
+        )
     inlier_frac = n_good / jnp.maximum(jnp.sum(smask), 1)
     return ICPResult(pose, fitness, inlier_frac, converged)
 
@@ -348,12 +418,14 @@ def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist,
     """Batched NN pass for the given active-lane mask; frozen lanes skip
     all tile compute in the predicated kernel (d2=inf, sel=0 for them).
 
-    On TPU the default path is the MXU-form kernel (cross term as one
-    HIGHEST-precision matmul, ~3x fewer VPU ops per pair): SELECTION runs
-    on centimeter-accurate recentred distances, then the winner's distance
-    is recomputed exactly in per-coordinate f32 — so the d2/good this
-    returns are exact GIVEN the selection, and only near-tie neighbor
-    choices (both genuinely near) can differ from the exact kernel.
+    When ``MXU_NN`` is enabled (default OFF — the A/B measured it ~23%
+    slower end-to-end, see ROADMAP §7) the TPU path is the MXU-form
+    kernel (cross term as one HIGHEST-precision matmul, ~3x fewer VPU ops
+    per pair): SELECTION runs on centimeter-accurate recentred distances,
+    then the winner's distance is recomputed exactly in per-coordinate
+    f32 — so the d2/good this returns are exact GIVEN the selection, and
+    only near-tie neighbor choices (both genuinely near) can differ from
+    the exact kernel. The default path is the exact per-coordinate kernel.
     ``exact=True`` forces the exact per-coordinate kernel — used for the
     final fitness pass, whose value feeds the accept gate and the loop
     factor noise model.
@@ -406,18 +478,24 @@ def _icp_stage_batched(
 ):
     """Batched-lane ICP while_loop at one correspondence resolution.
 
-    Returns (R, t, delta, done). Lane semantics as in :func:`icp_batched`.
+    Returns (R, t, delta, done, last_ms, last_ngood): last_ms/last_ngood
+    are each lane's mean-squared correspondence distance and inlier count
+    from its LAST active iteration — i.e. fitness statistics at the pose
+    one sub-``tol`` update before the returned one, which callers at the
+    full resolution can reuse to skip the separate final fitness pass
+    (a whole NN pass per verification; see ``icp_batched``). Lane
+    semantics as in :func:`icp_batched`.
     """
     B = src.shape[0]
     dtype = src.dtype
     eye = jnp.eye(3, dtype=dtype)
 
     def cond(carry):
-        i, _R, _t, _delta, _stall, done = carry
+        i, _R, _t, _delta, _stall, done, _ms, _ng = carry
         return (i < max_iters) & jnp.any(~done)
 
     def body(carry):
-        i, R, t, delta, stall, done = carry
+        i, R, t, delta, stall, done, last_ms, last_ng = carry
         pose = se3.Pose(R, t)
         moved, d2, matched, good = _matches_batched(
             src, smask, payload, pose, ~done, max_corr_dist
@@ -438,6 +516,8 @@ def _icp_stage_batched(
         keep = done[:, None, None]
         R = jnp.where(keep, R, new_pose.R)
         t = jnp.where(done[:, None], t, new_pose.t)
+        last_ms = jnp.where(done, last_ms, ms)
+        last_ng = jnp.where(done, last_ng, n_good)
         stall = jnp.where(
             done, stall, jnp.where(ndelta < STALL_RATIO * delta, 0, stall + 1)
         )
@@ -446,17 +526,18 @@ def _icp_stage_batched(
         stall_armed = delta < STALL_ABS_FACTOR * tol
         hopeless = stalled & (ms > HOPELESS_MARGIN * gate_fitness)
         done = done | (delta < tol) | (stall_armed & stalled) | hopeless
-        return (i + 1, R, t, delta, stall, done)
+        return (i + 1, R, t, delta, stall, done, last_ms, last_ng)
 
-    _, R, t, delta, _stall, done = jax.lax.while_loop(
+    _, R, t, delta, _stall, done, last_ms, last_ng = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.array(0), R0, t0, jnp.full((B,), jnp.inf, dtype),
             jnp.zeros((B,), jnp.int32), done0,
+            jnp.full((B,), jnp.inf, dtype), jnp.zeros((B,), dtype),
         ),
     )
-    return R, t, delta, done
+    return R, t, delta, done, last_ms, last_ng
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +655,7 @@ def icp_batched(
     coarse_factor: int = 1,
     gate_fitness: float = jnp.inf,
     target_stride: int = 1,
+    reuse_final_fitness: bool = False,
 ) -> ICPResult:
     """B independent point-to-point ICPs in one device program.
 
@@ -601,6 +683,11 @@ def icp_batched(
     ``target_stride``: see :func:`icp` — mid-resolution stage (full
     source x strided target) warm-starting the full-resolution loop.
     Ignored on the fused-kernel path (its tile constraints pick shapes).
+    ``reuse_final_fitness``: report fitness from the final full-resolution
+    iteration's statistics instead of a separate NN pass at the returned
+    pose — a bounded O(``tol``) value change that saves one whole Nq x Nt
+    pass per verification (see the inline note; ignored on the fused and
+    MXU_NN paths, which keep their exact final pass).
     """
     from . import pallas_kernels as pk
 
@@ -681,7 +768,7 @@ def icp_batched(
 
     R0, t0 = init.R, init.t
     if coarse_ok:
-        R0, t0, _, _ = _icp_stage_batched(
+        R0, t0, _, _, _, _ = _icp_stage_batched(
             src[:, ::f], smask[:, ::f], payload[:, :, ::f],
             R0, t0, done0, max_iters, max_corr_dist,
             COARSE_TOL_FACTOR * tol, gate_fitness,
@@ -692,27 +779,41 @@ def icp_batched(
         # point, to the loose tolerance — the full-resolution loop below
         # then converges in a few polish iterations instead of carrying
         # the whole descent at Nq x Nt NN cost per iteration
-        R0, t0, _, _ = _icp_stage_batched(
+        R0, t0, _, _, _, _ = _icp_stage_batched(
             src, smask, payload[:, :, ::s],
             R0, t0, done0, max_iters, max_corr_dist,
             COARSE_TOL_FACTOR * tol, gate_fitness,
         )
-    R, t, delta, done = _icp_stage_batched(
+    R, t, delta, done, last_ms, last_ng = _icp_stage_batched(
         src, smask, payload, R0, t0, done0, max_iters, max_corr_dist, tol,
         gate_fitness,
     )
     pose = se3.Pose(R, t)
 
-    _moved, d2, _matched, good = _matches_batched(
-        src, smask, payload, pose, active, max_corr_dist, exact=True
-    )
-    n_good = jnp.sum(good, axis=-1)
-    fitness = jnp.where(
-        (n_good > 0) & active,
-        jnp.sum(jnp.where(good, d2, 0.0), axis=-1)
-        / jnp.maximum(n_good, 1),
-        jnp.inf,
-    )
+    if reuse_final_fitness and not MXU_NN:
+        # fitness from the final full-resolution iteration's statistics:
+        # the same exact per-coordinate kernel at the pose ONE sub-`tol`
+        # update before the returned one, so the value differs from a
+        # recomputation by O(tol x point scale) — far below gate
+        # relevance — while saving a whole Nq x Nt NN pass per
+        # verification. Lanes frozen by the stall/hopeless exits carry a
+        # larger pose mismatch, but their fitness sits far above the gate
+        # by construction (that is why they froze). Under MXU_NN the
+        # iteration statistics inherit selection noise, so the exact
+        # recomputation below stays mandatory.
+        n_good = last_ng
+        fitness = jnp.where((n_good > 0) & active, last_ms, jnp.inf)
+    else:
+        _moved, d2, _matched, good = _matches_batched(
+            src, smask, payload, pose, active, max_corr_dist, exact=True
+        )
+        n_good = jnp.sum(good, axis=-1)
+        fitness = jnp.where(
+            (n_good > 0) & active,
+            jnp.sum(jnp.where(good, d2, 0.0), axis=-1)
+            / jnp.maximum(n_good, 1),
+            jnp.inf,
+        )
     inlier_frac = n_good / jnp.maximum(jnp.sum(smask, axis=-1), 1)
     return ICPResult(pose, fitness, inlier_frac, (delta < tol) & active)
 
@@ -838,17 +939,34 @@ def ransac_align(
 
     src_s = source.xyz[samples]      # [H, s, 3]
     dst_s = matched[samples]         # [H, s, 3]
-    ones = jnp.ones(samples.shape, dtype=source.xyz.dtype)
-    hyp = kabsch(src_s, dst_s, ones)  # batched over H
+    if sample_size == 3:
+        # closed-form minimal-sample estimator — H tiny SVDs dominate the
+        # RANSAC cost on TPU (see rigid_from_triangles)
+        hyp = rigid_from_triangles(src_s, dst_s)
+        # degenerate-sample rejection: BOTH triangles must determine a
+        # rigid map. Crucial for the dst side — on a false match the NN
+        # correspondences collapse many-to-one, so sampled dst triples
+        # are often coincident and the resulting zero-rank "transform"
+        # would score the whole collapse cluster as inliers.
+        hyp_ok = triangles_ok(src_s) & triangles_ok(dst_s)
+    else:
+        ones = jnp.ones(samples.shape, dtype=source.xyz.dtype)
+        hyp = kabsch(src_s, dst_s, ones)  # batched over H
+        hyp_ok = jnp.ones(samples.shape[0], bool)
 
     # score every hypothesis: residuals for all correspondences
     moved = jnp.einsum("hij,nj->hni", hyp.R, source.xyz) + hyp.t[:, None, :]
     res2 = jnp.sum((moved - matched[None]) ** 2, axis=-1)  # [H, N]
     inl = (res2 < inlier_thresh * inlier_thresh) & corr_valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
+    counts = jnp.where(hyp_ok, jnp.sum(inl, axis=-1), -1)
     best = jnp.argmax(counts)
-    best_pose = se3.Pose(hyp.R[best], hyp.t[best])
-    best_inl = inl[best]
+    any_valid = counts[best] >= 0
+    eye3 = jnp.eye(3, dtype=source.xyz.dtype)
+    best_pose = se3.Pose(
+        jnp.where(any_valid, hyp.R[best], eye3),
+        jnp.where(any_valid, hyp.t[best], jnp.zeros(3, source.xyz.dtype)),
+    )
+    best_inl = inl[best] & any_valid
 
     if refine:
         w = best_inl.astype(source.xyz.dtype)
@@ -868,3 +986,152 @@ def ransac_align(
     n_corr = jnp.maximum(jnp.sum(corr_valid), 1)
     ratio = num_inliers / n_corr
     return RansacResult(best_pose, ratio, num_inliers, ratio >= min_inlier_ratio)
+
+
+def ransac_align_batched(
+    source: Cloud,
+    target: Cloud,
+    key: jax.Array,
+    active: jax.Array,
+    num_hypotheses: int = 256,
+    sample_size: int = 3,
+    inlier_thresh: float = 0.25,
+    min_inlier_ratio: float = 0.45,
+    refine: bool = True,
+    hyp_chunk: int = 64,
+) -> RansacResult:
+    """B independent :func:`ransac_align` runs in one device program.
+
+    The batched-lane counterpart for macro-batched inter-robot
+    verification (reference ``include/distributedMapping.h:1210-1243``,
+    one RPC at a time; here B verifications share every kernel): the 1-NN
+    correspondence pass — the dominant cost — runs through the predicated
+    batched kernel (:func:`_matches_batched`), so lanes with
+    ``active=False`` skip all tile compute; the hypothesis scoring
+    evaluates ``num_hypotheses`` Kabsch fits per lane in
+    ``hyp_chunk``-sized slabs (bounding the [B, chunk, N, 3] transient).
+
+    Lane semantics match B solo runs up to RNG: each lane draws its
+    minimal samples from an independent fold of ``key``. Inactive lanes
+    return identity poses with ``success=False``.
+
+    source/target: Clouds with leading batch dim ([B, N, 3] / [B, M, 3]).
+    Returns a RansacResult with [B]-leading leaves.
+    """
+    B, n = source.xyz.shape[0], source.xyz.shape[1]
+    dtype = source.xyz.dtype
+    tgt = jnp.where(target.mask[..., None], target.xyz, PAD_VALUE)
+    payload = jnp.concatenate(
+        [jnp.swapaxes(tgt, -1, -2), target.mask[:, None, :].astype(dtype)],
+        axis=1,
+    )                                                           # [B, 4, M]
+    # big-but-finite gate: RANSAC correspondences are ungated (PCL
+    # CorrespondenceEstimation semantics); validity comes from the masks
+    _, d2, matched, good = _matches_batched(
+        source.xyz, source.mask, payload,
+        se3.identity((B,), dtype=dtype), active, 1e6, exact=True,
+    )                                       # matched [B, N, 3], good [B, N]
+
+    # per-lane minimal samples via inverse-CDF over valid correspondences:
+    # B*H*s uniforms + a searchsorted, NOT a [B, H, N] gumbel field (16M+
+    # transcendentals at fleet shapes). Within-triple duplicate draws are
+    # possible (probability ~s^2/n_good) and yield degenerate hypotheses
+    # that simply score low.
+    H = num_hypotheses
+    cnt = jnp.cumsum(good.astype(jnp.int32), axis=-1)          # [B, N]
+    n_good_pts = cnt[:, -1]
+    u = jax.random.uniform(key, (B, H, sample_size), dtype=dtype)
+    u = u * jnp.maximum(n_good_pts, 1)[:, None, None]
+    samples = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu.ravel(), side="right").reshape(
+            uu.shape
+        )
+    )(cnt.astype(dtype), u)
+    samples = jnp.minimum(samples, n - 1)          # n_good=0 lanes clamp
+    src_s = jax.vmap(lambda x, s: x[s])(source.xyz, samples)   # [B, H, s, 3]
+    dst_s = jax.vmap(lambda x, s: x[s])(matched, samples)
+    if sample_size == 3:
+        # closed-form triangle alignment: B*H tiny SVDs are the dominant
+        # batched-RANSAC cost on TPU (see rigid_from_triangles)
+        hyp = rigid_from_triangles(src_s, dst_s)               # [B, H] poses
+        # degenerate-sample rejection (see ransac_align's inline note):
+        # with-replacement draws AND collapsed false-match NN structure
+        # both produce coincident triples
+        hyp_ok = triangles_ok(src_s) & triangles_ok(dst_s)     # [B, H]
+    else:
+        hyp = kabsch(src_s, dst_s, jnp.ones(samples.shape, dtype))
+        hyp_ok = jnp.ones(samples.shape[:2], bool)
+
+    # score hypotheses in chunks: counts only (the winner's inlier set is
+    # recomputed below), so the [B, Hc, N] transient stays bounded
+    Hc = hyp_chunk if H % hyp_chunk == 0 else H
+    thr2 = inlier_thresh * inlier_thresh
+    sx, sy, sz = (source.xyz[..., i] for i in range(3))        # [B, N] each
+
+    def chunk_counts(Rt):
+        Rc, tc = Rt                                # [B, Hc, 3, 3], [B, Hc, 3]
+        # direct per-coordinate form (exact f32, no K=3 MXU padding or
+        # 6-pass precision=highest cost — see CLAUDE.md precision note)
+        res2 = 0.0
+        for i in range(3):
+            mi = (
+                Rc[..., i, 0][:, :, None] * sx[:, None, :]
+                + Rc[..., i, 1][:, :, None] * sy[:, None, :]
+                + Rc[..., i, 2][:, :, None] * sz[:, None, :]
+                + tc[..., i][:, :, None]
+            )
+            res2 = res2 + jnp.square(mi - matched[..., i][:, None, :])
+        return jnp.sum(
+            (res2 < thr2) & good[:, None, :], axis=-1
+        ).astype(jnp.int32)                        # [B, Hc]
+
+    nchunks = H // Hc
+    counts = jax.lax.map(
+        chunk_counts,
+        (
+            jnp.moveaxis(hyp.R.reshape(B, nchunks, Hc, 3, 3), 1, 0),
+            jnp.moveaxis(hyp.t.reshape(B, nchunks, Hc, 3), 1, 0),
+        ),
+    )                                              # [nchunks, B, Hc]
+    counts = jnp.moveaxis(counts, 0, 1).reshape(B, H)
+    counts = jnp.where(hyp_ok, counts, -1)
+    best = jnp.argmax(counts, axis=-1)             # [B]
+    bidx = jnp.arange(B)
+    any_valid = counts[bidx, best] >= 0            # [B]
+    eye3 = jnp.eye(3, dtype=dtype)
+    best_pose = se3.Pose(
+        jnp.where(any_valid[:, None, None], hyp.R[bidx, best], eye3),
+        jnp.where(
+            any_valid[:, None], hyp.t[bidx, best], jnp.zeros((B, 3), dtype)
+        ),
+    )
+
+    def inliers_of(pose):
+        moved = se3.transform_points(pose, source.xyz)
+        res2 = jnp.sum((moved - matched) ** 2, axis=-1)
+        return (res2 < thr2) & good
+
+    best_inl = inliers_of(best_pose)
+
+    if refine:
+        w = best_inl.astype(dtype)
+        refined = kabsch(source.xyz, matched, jnp.maximum(w, 1e-12))
+        inl_r = inliers_of(refined)
+        use_r = jnp.sum(inl_r, -1) >= jnp.sum(best_inl, -1)
+        best_pose = se3.Pose(
+            jnp.where(use_r[:, None, None], refined.R, best_pose.R),
+            jnp.where(use_r[:, None], refined.t, best_pose.t),
+        )
+        best_inl = jnp.where(use_r[:, None], inl_r, best_inl)
+
+    num_inliers = jnp.sum(best_inl, -1)
+    n_corr = jnp.maximum(jnp.sum(good, -1), 1)
+    ratio = jnp.where(active, num_inliers / n_corr, 0.0)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3))
+    pose = se3.Pose(
+        jnp.where(active[:, None, None], best_pose.R, eye),
+        jnp.where(active[:, None], best_pose.t, jnp.zeros((B, 3), dtype)),
+    )
+    return RansacResult(
+        pose, ratio, num_inliers, active & (ratio >= min_inlier_ratio)
+    )

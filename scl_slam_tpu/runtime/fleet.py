@@ -21,8 +21,9 @@ overhead when one TPU serves the whole fleet:
   optimizes the whole fleet.
 
 One jitted program (``_fleet_step``) processes a batch of keyframes from
-any mix of robots: ``lax.scan`` over frames, each iteration = ingest +
-intra-loop detect + inter-loop detect/verify. Distinct batch sizes compile
+any mix of robots: vmapped prep, scanned ingest, then BATCHED-LANE intra
+ICP and inter RANSAC (one predicated kernel per phase instead of per-frame
+``lax.cond`` branches — see ``_fleet_step``). Distinct batch sizes compile
 separate variants; callers see at most ``number_of_robots`` variants since
 a step drains at most one staged keyframe per robot.
 
@@ -43,11 +44,13 @@ from ..descriptors import registry
 from ..geometry import se3
 from ..ops import pointcloud as pc
 from ..ops import registration as reg
+from .state import LoopQueue
 from .mapper import (
     Mapper,
-    _detect_intra,
+    _enqueue_intra_block,
     _gather_submap,
     _ingest_prepared,
+    _intra_verify_inputs,
     _prepare_frame,
     _queue_loop,
     encode_kf,
@@ -80,10 +83,16 @@ def _detect_verify_inter_central(state, robot, key, cfg: SlamConfig):
 
     # verification inputs gathered OUTSIDE the cond (cond operands that
     # reference the full keyframe array become branch operands and force a
-    # padded multi-GB copy — see the note in mapper._detect_intra)
+    # padded multi-GB copy — see the note in mapper._detect_intra).
+    # Source budget: hash-ordered prefix = uniform subsample; the RANSAC
+    # gate is an inlier ratio, invariant under uniform subsampling.
     P = cfg.keyframe.points_per_keyframe
+    n_src = min(cfg.loop.icp_source_points, P)
     cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
-    cloud = pc.Cloud(state.kf_xyz[slot].reshape(P, 3), state.kf_mask[slot])
+    cloud = pc.Cloud(
+        state.kf_xyz[slot, : n_src * 3].reshape(n_src, 3),
+        state.kf_mask[slot, :n_src],
+    )
     world = pc.transform(cloud, cur_pose.R, cur_pose.t)
     pre_slot = jnp.where(attempt, match.db_pos, slot)
     submap = _gather_submap(state, pre_slot, match.robot, cfg)
@@ -139,43 +148,243 @@ def _detect_verify_inter_central(state, robot, key, cfg: SlamConfig):
     return state, ok, match.robot, match.index, ratio
 
 
+def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
+    """Batched-lane inter-robot loop closure for a whole fleet batch.
+
+    The macro-batched form of :func:`_detect_verify_inter_central`: one
+    vmapped inter-mode retrieval for every frame, then ONE lane-batched
+    RANSAC (:func:`~scl_slam_tpu.ops.registration.ransac_align_batched`,
+    predicated NN — frames without candidates skip all tile compute) under
+    a whole-batch ``lax.cond``, then a vectorized queue append (exclusive
+    cumsum over accepted lanes, the `_enqueue_intra_block` pattern).
+
+    Returns ``(state, oks [B], peer_robot [B], peer_index [B], ratio [B])``.
+    """
+    B = slots.shape[0]
+    fam = registry.get_family(cfg)
+
+    def q(desc, r, qi, slot):
+        match = fam.query(state.desc_db, desc, r, qi, mode="inter")
+        already = state.loop_target[slot] >= 0
+        attempt = match.found & ~already
+        pre_slot = jnp.where(attempt, match.db_pos, slot)
+        return match.robot, match.index, pre_slot, attempt
+
+    m_robs, m_idxs, pre_slots, attempts = jax.vmap(q)(
+        descs, robots, q_idxs, slots
+    )
+
+    # verification source budget: the hash-ordered storage layout makes a
+    # prefix slice a uniform spatial subsample (same argument as
+    # icp_source_points, which this reuses), and the RANSAC accept gate is
+    # an inlier RATIO — invariant under uniform subsampling. The NN pass
+    # over the full keyframe cloud was the dominant fleet-step cost
+    # (scripts/profile_fleet_phases.py).
+    P = cfg.keyframe.points_per_keyframe
+    n_src = min(cfg.loop.icp_source_points, P)
+    cur_poses = se3.Pose(state.opt_R[slots], state.opt_t[slots])
+    clouds = pc.Cloud(
+        state.kf_xyz[slots, : n_src * 3].reshape(B, n_src, 3),
+        state.kf_mask[slots, :n_src],
+    )
+    worlds = pc.transform(clouds, cur_poses.R, cur_poses.t)
+    submaps = jax.vmap(
+        lambda ps, mr: _gather_submap(state, ps, mr, cfg)
+    )(pre_slots, m_robs)
+
+    def verify(operands):
+        w_xyz, w_mask, s_xyz, s_mask = operands
+        res = reg.ransac_align_batched(
+            pc.Cloud(w_xyz, w_mask),
+            pc.Cloud(s_xyz, s_mask),
+            key,
+            attempts,
+            num_hypotheses=cfg.loop.ransac_max_iter,
+            inlier_thresh=cfg.loop.ransac_outlier_threshold,
+            min_inlier_ratio=cfg.loop.ransac_inlier_ratio,
+        )
+        return res.success, res.pose.R, res.pose.t, res.inlier_ratio
+
+    def skip(operands):
+        dt = state.opt_t.dtype
+        return (
+            jnp.zeros((B,), bool),
+            jnp.broadcast_to(jnp.eye(3, dtype=dt), (B, 3, 3)),
+            jnp.zeros((B, 3), dt),
+            jnp.zeros((B,), dt),
+        )
+
+    success, a_R, a_t, ratio = jax.lax.cond(
+        jnp.any(attempts), verify, skip,
+        operand=(worlds.xyz, worlds.mask, submaps.xyz, submaps.mask),
+    )
+    oks = attempts & success
+
+    # factor z = T_pre^-1 ∘ (alignment ∘ T_cur), as in the RPC path
+    corrected = se3.compose(se3.Pose(a_R, a_t), cur_poses)
+    pre_poses = se3.Pose(state.opt_R[pre_slots], state.opt_t[pre_slots])
+    z = se3.between(pre_poses, corrected)
+    noise = jnp.maximum(1.0 - ratio, 1e-3)
+
+    # vectorized queue append (exclusive cumsum; scratch-row drop past
+    # capacity — the _enqueue_intra_block pattern)
+    lq = state.loop_queue
+    Q = lq.i.shape[0]
+    ok_i = oks.astype(jnp.int32)
+    qpos = lq.count + jnp.cumsum(ok_i) - ok_i
+    qoks = oks & (qpos < Q)
+    pos_w = jnp.where(qoks, qpos, Q)
+
+    def scatter_rows(arr, rows):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad])[: Q + 1].at[pos_w].set(
+            rows.astype(arr.dtype)
+        )[:Q]
+
+    new_q = LoopQueue(
+        i=scatter_rows(lq.i, encode_kf(m_robs, m_idxs)),
+        j=scatter_rows(lq.j, encode_kf(robots, q_idxs)),
+        z_R=scatter_rows(lq.z_R, z.R),
+        z_t=scatter_rows(lq.z_t, z.t),
+        noise=scatter_rows(lq.noise, noise),
+        count=lq.count + jnp.sum(qoks.astype(jnp.int32)),
+    )
+    state = state._replace(
+        loop_queue=new_q,
+        loop_target=state.loop_target.at[slots].set(
+            jnp.where(qoks, pre_slots, state.loop_target[slots])
+        ),
+        loop_closed=state.loop_closed | jnp.any(qoks),
+    )
+    return state, oks, m_robs, m_idxs, ratio
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _fleet_step(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
     """Process a batch of keyframes (any mix of robots) in ONE program.
 
-    The DB-independent frame prep (storage downsample + descriptor build —
-    the heavy half of ingestion) is ``vmap``-ed over the whole mixed-robot
-    batch first; the DB-dependent rest runs under ``lax.scan``: each frame
-    is ingested, then intra- and inter-robot loop closure run for it
-    (ICP/RANSAC under scalar ``lax.cond`` — only taken branches execute,
-    so frames without candidates stay retrieval-bound). Returns the
-    updated state, advanced RNG key, and per-frame event arrays.
+    Batched-lane form (the ``_batch_body_prepared`` structure generalized
+    to mixed-robot batches):
+
+    0. ``vmap`` the DB-independent frame prep (storage downsample +
+       descriptor build) over the whole batch.
+    1. ``lax.scan`` the (tiny, inherently sequential) per-frame ingest.
+    2. Intra loops: ONE vmapped retrieval + ONE lane-batched ICP
+       (predicated kernels — frames without candidates skip tile compute)
+       + vectorized queue append.
+    3. Inter loops: ONE vmapped inter retrieval + ONE lane-batched RANSAC
+       (:func:`_detect_verify_inter_block`).
+
+    Semantics vs the per-frame sequential scan this replaced: identical
+    per-robot (intra retrieval's one-sided index exclusion makes
+    post-insert batch retrieval equal to sequential retrieval — see
+    ``_batch_body_prepared``), relaxed ACROSS robots within one batch:
+    inter retrieval sees every batch-mate (sequential saw only earlier
+    ones) and queue rows group intra-before-inter instead of
+    interleaving by frame. Both only ADD loop-closure opportunities or
+    permute queue order within one step; serving batches have no
+    intrinsic cross-robot order. Measured: 374 -> ~1000+ frames/s on the
+    bench fleet workload (B=16 lanes of ICP/RANSAC share every kernel
+    instead of running serially under per-frame conds).
+
+    Returns the updated state, advanced RNG key, and per-frame event
+    arrays ``(ok_intra, intra_index, fitness, ok_inter, peer, peer_index,
+    inlier_ratio)``.
     """
+    B = stamps.shape[0]
+    K = cfg.keyframe.max_keyframes
     smalls, descs = jax.vmap(lambda x, m: _prepare_frame(x, m, cfg))(
         xyz, mask
     )
 
-    def one(carry, inp):
-        st, k = carry
+    # phase 1: sequential ingest (scalar bookkeeping; the heavy prep is
+    # already done). counts_hist[b] = frame b's own-robot keyframe count
+    # at its sequential detection time.
+    def ing(st, inp):
         r, pR, pt, small, desc, s = inp
-        st, _ = _ingest_prepared(st, r, se3.Pose(pR, pt), small, desc, s, cfg)
-        st, ok_i, match_i, fit = _detect_intra(st, r, cfg)
-        if cfg.loop.inter_enabled and cfg.number_of_robots > 1:
-            k, sub = jax.random.split(k)
-            st, ok_x, peer, p_idx, ratio = _detect_verify_inter_central(
-                st, r, sub, cfg
-            )
-        else:
-            ok_x = jnp.array(False)
-            peer = jnp.array(0, jnp.int32)
-            p_idx = jnp.array(0, jnp.int32)
-            ratio = jnp.array(0.0, st.opt_t.dtype)
-        return (st, k), (ok_i, match_i.index, fit, ok_x, peer, p_idx, ratio)
+        st, _ = _ingest_prepared(
+            st, r, se3.Pose(pR, pt), small, desc, s, cfg
+        )
+        pos = st.counts[r] - 1
+        slot = r * K + pos
+        return st, (slot, st.desc_db.index[slot], st.counts[r])
 
-    (state, key), outs = jax.lax.scan(
-        one, (state, key), (robots, pose_R, pose_t, smalls, descs, stamps)
+    state, (slots, q_idxs, counts_hist) = jax.lax.scan(
+        ing, state, (robots, pose_R, pose_t, smalls, descs, stamps)
     )
-    return state, key, outs
+
+    # phase 2: intra loops, batched lanes
+    if cfg.loop.intra_enabled:
+        fam = registry.get_family(cfg)
+
+        def retrieve(desc, r, q_idx, slot):
+            match = fam.query(state.desc_db, desc, r, q_idx, mode="intra")
+            already = state.loop_target[slot] >= 0
+            attempt = match.found & ~already
+            match_slot = jnp.where(attempt, match.db_pos, slot)
+            return match.index, match.yaw, attempt, match_slot
+
+        m_idxs, yaws, attempts, match_slots = jax.vmap(retrieve)(
+            descs, robots, q_idxs, slots
+        )
+        cur_clouds, targets, init_poses = jax.vmap(
+            lambda sl, ms, yw, r, ct: _intra_verify_inputs(
+                state, sl, ms, yw, r, cfg, count=ct
+            )
+        )(slots, match_slots, yaws, robots, counts_hist)
+
+        def verify(operands):
+            cur, tgt, inits, active = operands
+            src_world = pc.transform(cur, inits.R, inits.t)
+            res = reg.icp_batched(
+                src_world,
+                tgt,
+                se3.identity((B,), dtype=state.opt_t.dtype),
+                active,
+                max_iters=cfg.loop.icp_iterations,
+                max_corr_dist=cfg.loop.icp_max_corr_dist,
+                tol=cfg.loop.icp_tol,
+                coarse_factor=cfg.loop.icp_coarse_factor,
+                gate_fitness=cfg.loop.history_fitness_score,
+                target_stride=cfg.loop.icp_target_stride,
+                reuse_final_fitness=cfg.loop.icp_reuse_final_fitness,
+            )
+            corrected = se3.compose(res.pose, inits)
+            return res.fitness, corrected.R, corrected.t
+
+        def skip(operands):
+            _cur, _tgt, inits, _active = operands
+            return (
+                jnp.full((B,), jnp.inf, state.opt_t.dtype), inits.R, inits.t
+            )
+
+        fits, corr_R, corr_t = jax.lax.cond(
+            jnp.any(attempts), verify, skip,
+            operand=(cur_clouds, targets, init_poses, attempts),
+        )
+        state, ok_i = _enqueue_intra_block(
+            state, robots, slots, match_slots, q_idxs, m_idxs, fits,
+            attempts, corr_R, corr_t, cfg,
+        )
+    else:
+        m_idxs = jnp.zeros((B,), jnp.int32)
+        fits = jnp.full((B,), jnp.inf, state.opt_t.dtype)
+        ok_i = jnp.zeros((B,), bool)
+
+    # phase 3: inter loops, batched lanes (reads post-intra loop_target so
+    # a frame whose intra loop was accepted is deduped, as sequentially)
+    if cfg.loop.inter_enabled and cfg.number_of_robots > 1:
+        key, sub = jax.random.split(key)
+        state, ok_x, peers, p_idxs, ratios = _detect_verify_inter_block(
+            state, sub, robots, slots, q_idxs, descs, cfg
+        )
+    else:
+        ok_x = jnp.zeros((B,), bool)
+        peers = jnp.zeros((B,), jnp.int32)
+        p_idxs = jnp.zeros((B,), jnp.int32)
+        ratios = jnp.zeros((B,), state.opt_t.dtype)
+
+    return state, key, (ok_i, m_idxs, fits, ok_x, peers, p_idxs, ratios)
 
 
 class FleetMapper(Mapper):

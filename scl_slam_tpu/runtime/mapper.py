@@ -522,6 +522,7 @@ def _detect_intra(state: MapperState, robot: jax.Array, cfg: SlamConfig):
             coarse_factor=cfg.loop.icp_coarse_factor,
             gate_fitness=cfg.loop.history_fitness_score,
             target_stride=cfg.loop.icp_target_stride,
+            reuse_final_fitness=cfg.loop.icp_reuse_final_fitness,
         )
         corrected = se3.compose(icp_res.pose, init_pose)
         return icp_res.fitness, corrected.R, corrected.t
@@ -788,6 +789,7 @@ def _batch_body_prepared(
             coarse_factor=cfg.loop.icp_coarse_factor,
             gate_fitness=cfg.loop.history_fitness_score,
             target_stride=cfg.loop.icp_target_stride,
+            reuse_final_fitness=cfg.loop.icp_reuse_final_fitness,
         )
         corrected = se3.compose(res.pose, inits)
         return res.fitness, corrected.R, corrected.t

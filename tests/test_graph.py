@@ -215,3 +215,56 @@ class TestSolver:
             )
             res = solver.solve(g, init, gn_iters=3, cg_iters=16)
             assert np.isfinite(float(res.chi2_history[-1]))
+
+
+class TestLowOccupancyAutoHierarchy:
+    """Regression: the auto multilevel preconditioner (coarse_stride = -1)
+    must stay finite on fixed-capacity pose arrays at LOW occupancy — the
+    live-drain shape (default capacity 8192, a few dozen active poses in
+    two robot blocks). The equilibrated Galerkin coarse matrix is nearly
+    rank-deficient there and f32 assembly noise drove its smallest
+    eigenvalue to -2e-3: the 1e-6-shifted Cholesky returned NaN and the
+    fleet drain produced NaN trajectories (found via run_multi --fleet)."""
+
+    def test_sparse_occupancy_two_blocks(self):
+        cap = 8192
+        block = 4096  # robot 1's poses start here (block-per-robot layout)
+        n0, n1 = 48, 33
+        gt0 = circle_trajectory(n0, radius=70.0)
+        gt1 = circle_trajectory(n1, radius=70.0)
+
+        g = F.make_graph(edge_capacity=8192, prior_capacity=8)
+        g = F.add_prior(g, 0, se3.index(gt0, 0), [10.0] * 3 + [1e2] * 3)
+        g = F.add_prior(g, block, se3.index(gt1, 0), [10.0] * 3 + [1e-4] * 3)
+        for i in range(n0 - 1):
+            z = se3.between(se3.index(gt0, i), se3.index(gt0, i + 1))
+            g = F.add_between(g, i, i + 1, z, [200.0] * 3 + [1e3] * 3)
+        for i in range(n1 - 1):
+            z = se3.between(se3.index(gt1, i), se3.index(gt1, i + 1))
+            g = F.add_between(
+                g, block + i, block + i + 1, z, [200.0] * 3 + [1e3] * 3
+            )
+        # one inter-block loop factor (the fleet inter-loop shape)
+        z = se3.between(se3.index(gt0, 0), se3.index(gt1, 32 % n1))
+        g = F.add_between(g, 0, block + 32 % n1, z, [1.4] * 6)
+
+        init = se3.identity((cap,))
+        init = se3.Pose(
+            init.R.at[:n0].set(gt0.R).at[block : block + n1].set(gt1.R),
+            init.t.at[:n0].set(gt0.t).at[block : block + n1].set(gt1.t),
+        )
+        res = solver.solve(
+            g, init, gn_iters=4, cg_iters=32, coarse_stride=-1
+        )
+        chis = np.asarray(res.chi2_history)
+        assert np.isfinite(chis).all(), chis
+        assert np.isfinite(np.asarray(res.poses.t)).all()
+        assert np.isfinite(np.asarray(res.poses.R)).all()
+        # and the hierarchy variants that reproduced the NaN directly
+        for cs, lv in ((256, 1), (16, 2)):
+            r2 = solver.solve(
+                g, init, gn_iters=2, cg_iters=16,
+                coarse_stride=cs, coarse_levels=lv,
+            )
+            assert np.isfinite(np.asarray(r2.chi2_history)).all(), (cs, lv)
+            assert np.isfinite(np.asarray(r2.poses.t)).all(), (cs, lv)

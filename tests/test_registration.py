@@ -132,6 +132,133 @@ class TestRansac:
         assert np.isfinite(float(out.inlier_ratio))
 
 
+class TestRansacBatched:
+    """Lane-batched RANSAC (the fleet inter-verification path) must match
+    solo runs per lane: recover true transforms on overlap lanes, reject
+    unrelated lanes, and return inert results for inactive lanes."""
+
+    def _mixed_lanes(self):
+        key = jax.random.PRNGKey(20)
+        gts, sources, targets = [], [], []
+        # lane 0: true overlap; lane 1: unrelated junk; lane 2: true
+        # overlap but INACTIVE
+        for i, related in enumerate((True, False, True)):
+            k = jax.random.fold_in(key, i)
+            tgt = random_cloud(k, 800, 1024, scale=20.0)
+            gt = known_transform(dtheta=0.05 + 0.02 * i, dt=(0.5, 0.3, 0.1))
+            if related:
+                src_pts = se3.transform_points(se3.inverse(gt), tgt.xyz[:800])
+                src = pc.from_points(np.asarray(src_pts), 1024)
+            else:
+                src = random_cloud(jax.random.fold_in(k, 99), 800, 1024,
+                                   scale=20.0)
+            gts.append(gt)
+            sources.append(src)
+            targets.append(tgt)
+        stack = lambda cs: pc.Cloud(
+            jnp.stack([c.xyz for c in cs]), jnp.stack([c.mask for c in cs])
+        )
+        return gts, stack(sources), stack(targets)
+
+    def test_mixed_lanes(self):
+        gts, sources, targets = self._mixed_lanes()
+        active = jnp.array([True, True, False])
+        res = reg.ransac_align_batched(
+            sources, targets, jax.random.PRNGKey(21), active,
+            num_hypotheses=256, inlier_thresh=0.3, min_inlier_ratio=0.45,
+        )
+        ok = np.asarray(res.success)
+        assert ok[0] and not ok[1] and not ok[2]
+        np.testing.assert_allclose(
+            np.asarray(res.pose.R[0]), np.asarray(gts[0].R), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.pose.t[0]), np.asarray(gts[0].t), atol=0.1
+        )
+        # inactive lane: identity pose, zero ratio
+        np.testing.assert_allclose(
+            np.asarray(res.pose.R[2]), np.eye(3), atol=1e-6
+        )
+        assert float(res.inlier_ratio[2]) == 0.0
+
+    def test_matches_solo_quality(self):
+        """Each active batched lane must reach the solo path's accept
+        decision on the same inputs (sampling RNG differs, so poses are
+        compared to ground truth, not bitwise)."""
+        gts, sources, targets = self._mixed_lanes()
+        active = jnp.ones(3, bool)
+        res_b = reg.ransac_align_batched(
+            sources, targets, jax.random.PRNGKey(22), active,
+            num_hypotheses=256, inlier_thresh=0.3, min_inlier_ratio=0.45,
+        )
+        for lane in range(3):
+            solo = reg.ransac_align(
+                pc.Cloud(sources.xyz[lane], sources.mask[lane]),
+                pc.Cloud(targets.xyz[lane], targets.mask[lane]),
+                jax.random.PRNGKey(23 + lane),
+                num_hypotheses=256, inlier_thresh=0.3, min_inlier_ratio=0.45,
+            )
+            assert bool(res_b.success[lane]) == bool(solo.success)
+            if bool(solo.success):
+                np.testing.assert_allclose(
+                    np.asarray(res_b.pose.R[lane]),
+                    np.asarray(solo.pose.R), atol=1e-2,
+                )
+
+    def test_collapsed_false_match_rejected(self):
+        """Regression: on a FALSE match whose clouds barely overlap, the NN
+        correspondences collapse many-to-one onto the target boundary; a
+        degenerate (coincident-dst) minimal sample then yields a rank-0
+        'transform' that scores the whole collapse cluster as inliers —
+        accepted at ratio 0.52 with a ZERO rotation before the
+        triangles_ok sample-rejection gate (NaN poses downstream)."""
+        key = jax.random.PRNGKey(30)
+        # target: dense cluster near origin; source: far-away sheet whose
+        # nearest target is always the cluster boundary
+        tgt_pts = jax.random.uniform(key, (800, 3), minval=0.0, maxval=5.0)
+        src_pts = jax.random.uniform(
+            jax.random.fold_in(key, 1), (800, 3), minval=0.0, maxval=5.0
+        ) + jnp.array([80.0, 0.0, 0.0])
+        target = pc.from_points(np.asarray(tgt_pts), 1024)
+        source = pc.from_points(np.asarray(src_pts), 1024)
+        solo = reg.ransac_align(
+            source, target, jax.random.PRNGKey(31),
+            num_hypotheses=256, inlier_thresh=0.3, min_inlier_ratio=0.45,
+        )
+        assert not bool(solo.success), float(solo.inlier_ratio)
+        batched = reg.ransac_align_batched(
+            pc.Cloud(source.xyz[None], source.mask[None]),
+            pc.Cloud(target.xyz[None], target.mask[None]),
+            jax.random.PRNGKey(31), jnp.array([True]),
+            num_hypotheses=256, inlier_thresh=0.3, min_inlier_ratio=0.45,
+        )
+        assert not bool(batched.success[0]), float(batched.inlier_ratio[0])
+        # results stay finite and well-formed for downstream factor math
+        for R in (solo.pose.R, batched.pose.R[0]):
+            assert np.isfinite(np.asarray(R)).all()
+            assert abs(np.linalg.det(np.asarray(R))) > 0.5  # not rank-deficient
+
+    def test_hypothesis_chunking_invariant(self):
+        gts, sources, targets = self._mixed_lanes()
+        active = jnp.ones(3, bool)
+        kw = dict(num_hypotheses=128, inlier_thresh=0.3,
+                  min_inlier_ratio=0.45)
+        a = reg.ransac_align_batched(
+            sources, targets, jax.random.PRNGKey(24), active,
+            hyp_chunk=32, **kw,
+        )
+        b = reg.ransac_align_batched(
+            sources, targets, jax.random.PRNGKey(24), active,
+            hyp_chunk=128, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.pose.R), np.asarray(b.pose.R), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.num_inliers), np.asarray(b.num_inliers)
+        )
+
+
 class TestHopelessLaneExit:
     """gate_fitness enables an early freeze ONLY for lanes that are both
     stalled and >= HOPELESS_MARGIN x above the accept gate — it must never
