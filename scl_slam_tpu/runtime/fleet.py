@@ -52,111 +52,29 @@ from .mapper import (
     _ingest_prepared,
     _intra_verify_inputs,
     _prepare_frame,
-    _queue_loop,
     encode_kf,
 )
 
 
-def _detect_verify_inter_central(state, robot, key, cfg: SlamConfig):
-    """Inter-robot loop closure without an RPC: detect + verify in one state.
+def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
+    """Batched-lane inter-robot loop closure without RPCs, for a fleet batch.
 
     Fuses the reference's client/server pair (``performInterLoopClosure``
     ``distributedMapping.h:1272-1338`` + ``geometricVerificationService``
-    ``:1189-1268``): the inter-mode query finds a cross-robot candidate for
-    the latest keyframe of ``robot``; RANSAC then aligns that keyframe's
-    resident cloud against the submap around the matched peer keyframe —
-    both sides live in the same MapperState. The verified factor is queued
-    once (one shared graph; the reference queues it in both nodes' graphs).
-
-    Returns ``(state, ok, peer_robot, peer_index, inlier_ratio)``.
-    """
-    K = cfg.keyframe.max_keyframes
-    fam = registry.get_family(cfg)
-    pos = state.counts[robot] - 1
-    slot = robot * K + jnp.maximum(pos, 0)
-    q_idx = state.desc_db.index[slot]
-
-    descriptor = fam.from_db(state.desc_db, slot)
-    match = fam.query(state.desc_db, descriptor, robot, q_idx, mode="inter")
-    already = state.loop_target[slot] >= 0
-    attempt = match.found & ~already & (pos >= 0)
-
-    # verification inputs gathered OUTSIDE the cond (cond operands that
-    # reference the full keyframe array become branch operands and force a
-    # padded multi-GB copy — see the note in mapper._detect_intra).
-    # Source budget: hash-ordered prefix = uniform subsample; the RANSAC
-    # gate is an inlier ratio, invariant under uniform subsampling.
-    P = cfg.keyframe.points_per_keyframe
-    n_src = min(cfg.loop.icp_source_points, P)
-    cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
-    cloud = pc.Cloud(
-        state.kf_xyz[slot, : n_src * 3].reshape(n_src, 3),
-        state.kf_mask[slot, :n_src],
-    )
-    world = pc.transform(cloud, cur_pose.R, cur_pose.t)
-    pre_slot = jnp.where(attempt, match.db_pos, slot)
-    submap = _gather_submap(state, pre_slot, match.robot, cfg)
-
-    def verify(operands):
-        w_xyz, w_mask, sub_xyz, sub_mask = operands
-        res = reg.ransac_align(
-            pc.Cloud(w_xyz, w_mask),
-            pc.Cloud(sub_xyz, sub_mask),
-            key,
-            num_hypotheses=cfg.loop.ransac_max_iter,
-            inlier_thresh=cfg.loop.ransac_outlier_threshold,
-            min_inlier_ratio=cfg.loop.ransac_inlier_ratio,
-        )
-        return res.success, res.pose.R, res.pose.t, res.inlier_ratio
-
-    def skip(operands):
-        dt = state.opt_t.dtype
-        return (
-            jnp.array(False),
-            jnp.eye(3, dtype=dt),
-            jnp.zeros(3, dt),
-            jnp.array(0.0, dt),
-        )
-
-    success, a_R, a_t, ratio = jax.lax.cond(
-        attempt, verify, skip, operand=(world.xyz, world.mask, submap.xyz, submap.mask)
-    )
-    ok = attempt & success
-
-    # factor z = T_pre^-1 ∘ (alignment ∘ T_cur): identical to the RPC path
-    # (mapper._verify_ransac) with cur_pose_est read directly from state
-    corrected = se3.compose(se3.Pose(a_R, a_t), cur_pose)
-    pre_pose = se3.Pose(state.opt_R[pre_slot], state.opt_t[pre_slot])
-    z = se3.between(pre_pose, corrected)
-    noise = jnp.maximum(1.0 - ratio, 1e-3)
-    queued = _queue_loop(
-        state,
-        encode_kf(match.robot, match.index),
-        encode_kf(robot, q_idx),
-        z,
-        noise,
-        cfg,
-    )
-    # select only the fields _queue_loop touches — a whole-tree select would
-    # copy the keyframe arrays every frame
-    sel = lambda a, b: jnp.where(ok, a, b)
-    state = state._replace(
-        loop_queue=jax.tree_util.tree_map(sel, queued.loop_queue, state.loop_queue),
-        loop_target=sel(queued.loop_target, state.loop_target),
-        loop_closed=sel(queued.loop_closed, state.loop_closed),
-    )
-    return state, ok, match.robot, match.index, ratio
-
-
-def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
-    """Batched-lane inter-robot loop closure for a whole fleet batch.
-
-    The macro-batched form of :func:`_detect_verify_inter_central`: one
-    vmapped inter-mode retrieval for every frame, then ONE lane-batched
-    RANSAC (:func:`~scl_slam_tpu.ops.registration.ransac_align_batched`,
-    predicated NN — frames without candidates skip all tile compute) under
-    a whole-batch ``lax.cond``, then a vectorized queue append (exclusive
-    cumsum over accepted lanes, the `_enqueue_intra_block` pattern).
+    ``:1189-1268``) across a whole mixed-robot batch: one vmapped
+    inter-mode retrieval for every frame (cross-robot candidates only),
+    then ONE lane-batched RANSAC aligning each frame's resident cloud
+    against the submap around its matched peer keyframe — both sides live
+    in the same MapperState, so no cloud payload moves
+    (:func:`~scl_slam_tpu.ops.registration.ransac_align_batched`,
+    predicated NN — frames without candidates skip all tile compute) —
+    under a whole-batch ``lax.cond``, then a vectorized queue append
+    (exclusive cumsum over accepted lanes, the ``_enqueue_intra_block``
+    pattern). Each verified factor is queued once (one shared graph; the
+    reference queues it in both nodes' graphs); the factor is
+    z = T_pre^-1 ∘ (alignment ∘ T_cur), identical to the RPC path
+    (``mapper._verify_ransac``) with the current pose estimate read
+    directly from state.
 
     Returns ``(state, oks [B], peer_robot [B], peer_index [B], ratio [B])``.
     """
@@ -259,8 +177,7 @@ def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
     return state, oks, m_robs, m_idxs, ratio
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _fleet_step(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
+def _fleet_body(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
     """Process a batch of keyframes (any mix of robots) in ONE program.
 
     Batched-lane form (the ``_batch_body_prepared`` structure generalized
@@ -387,6 +304,37 @@ def _fleet_step(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
     return state, key, (ok_i, m_idxs, fits, ok_x, peers, p_idxs, ratios)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _fleet_step(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
+    """Jitted single-fleet-batch entry point (see :func:`_fleet_body`)."""
+    return _fleet_body(
+        state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _fleet_replay(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
+    """R fleet batches in ONE device program: ``lax.scan`` over the fleet
+
+    batch step (leaves [R, B, ...]). The multi-robot analog of
+    ``mapper._replay_batches`` — identical results to R sequential
+    :func:`_fleet_step` calls, paying the ~1-3 ms tunneled-runtime
+    dispatch floor once per R batches instead of once per batch.
+    """
+    def step(carry, inp):
+        st, k = carry
+        r, pR, pt, x, m, s = inp
+        st, k, outs = _fleet_body(st, k, r, pR, pt, x, m, s, cfg)
+        return (st, k), outs
+
+    (state, key), outs = jax.lax.scan(
+        step, (state, key), (robots, pose_R, pose_t, xyz, mask, stamps)
+    )
+    return state, key, jax.tree_util.tree_map(
+        lambda o: o.reshape((-1,) + o.shape[2:]), outs
+    )
+
+
 class FleetMapper(Mapper):
     """Serve N robots' SLAM sessions from one shared device-resident state.
 
@@ -407,6 +355,25 @@ class FleetMapper(Mapper):
         self._fleet_key = jax.random.PRNGKey(cfg.robot_id + 101)
 
     # -- feeding --
+    def _gate(self, robot: int, pose: se3.Pose) -> bool:
+        """Per-robot host-side keyframe gate (1 m / 0.2 rad — reference
+        ``saveFrame`` semantics). Host numpy, not jnp: the jnp form costs
+        two device round trips PER RAW FRAME (~80 ms each on the tunneled
+        chip — measured 8.7 frames/s fleet throughput from this alone);
+        same rationale as ``Mapper.should_add_keyframe``."""
+        last = self._fleet_last_pose.get(robot)
+        if last is None:
+            return True
+        R0, t0 = np.asarray(last.R), np.asarray(last.t)
+        R1, t1 = np.asarray(pose.R), np.asarray(pose.t)
+        dist = float(np.linalg.norm(t1 - t0))
+        cos_ang = (np.trace(R0.T @ R1) - 1.0) * 0.5
+        ang = float(np.arccos(np.clip(cos_ang, -1.0, 1.0)))
+        return (
+            dist >= self.cfg.keyframe.distance_threshold
+            or ang >= self.cfg.keyframe.angle_threshold
+        )
+
     def add_robot_frame(
         self, robot: int, pose: se3.Pose, xyz: np.ndarray, stamp: float = 0.0
     ) -> bool:
@@ -414,22 +381,8 @@ class FleetMapper(Mapper):
         became a keyframe (processed at the next :meth:`step`)."""
         if not (0 <= robot < self.cfg.number_of_robots):
             raise ValueError(f"robot {robot} out of range")
-        last = self._fleet_last_pose.get(robot)
-        if last is not None:
-            # host-side numpy gate: the jnp form costs two device round
-            # trips PER RAW FRAME (~80 ms each on the tunneled chip —
-            # measured 8.7 frames/s fleet throughput from this alone);
-            # same rationale as Mapper.should_add_keyframe
-            R0, t0 = np.asarray(last.R), np.asarray(last.t)
-            R1, t1 = np.asarray(pose.R), np.asarray(pose.t)
-            dist = float(np.linalg.norm(t1 - t0))
-            cos_ang = (np.trace(R0.T @ R1) - 1.0) * 0.5
-            ang = float(np.arccos(np.clip(cos_ang, -1.0, 1.0)))
-            if (
-                dist < self.cfg.keyframe.distance_threshold
-                and ang < self.cfg.keyframe.angle_threshold
-            ):
-                return False
+        if not self._gate(robot, pose):
+            return False
         self._fleet_last_pose[robot] = pose
         cloud = pc.from_points(xyz, self.cfg.keyframe.raw_points_capacity)
         self._fleet_staged.append((robot, pose, cloud, float(stamp)))
@@ -490,6 +443,119 @@ class FleetMapper(Mapper):
                 }
             events.append(ev)
         return events
+
+    def replay(
+        self,
+        frames,
+        apply_gate: bool = True,
+        batch: int = 16,
+        chunk_batches: int = 8,
+    ) -> dict:
+        """Whole-dataset multi-robot replay in as few device programs as
+
+        possible — the fleet analog of :meth:`Mapper.replay`. ``frames``
+        is the arrival-ordered stream: an iterable of
+        ``(robot, pose, scan, stamp)`` tuples. Keyframe-gated per robot
+        host-side (same gate as :meth:`add_robot_frame`); accepted
+        keyframes run ``batch * chunk_batches`` at a time through ONE
+        scanned device program per chunk (:func:`_fleet_replay`); the
+        remainder goes through the staged :meth:`step` path. Returns
+        ``{"accepted": [...], "events": [...], "keyframes": {robot: n}}``
+        with one event dict per accepted keyframe (same shape as
+        :meth:`step`'s entries).
+        """
+        frames = list(frames)
+        accepted, sel = [], []
+        for rec in frames:
+            robot, pose, scan, stamp = (
+                rec if len(rec) == 4 else (*rec, 0.0)
+            )
+            take = (not apply_gate) or self._gate(robot, pose)
+            accepted.append(take)
+            if take:
+                self._fleet_last_pose[robot] = pose
+                sel.append((robot, pose, scan, float(stamp)))
+
+        B, R = batch, chunk_batches
+        chunk = B * R
+        cap = self.cfg.keyframe.raw_points_capacity
+        events: list[dict] = []
+        pos = 0
+        while len(sel) - pos >= chunk:
+            part = sel[pos : pos + chunk]
+            # per-robot capacity + queue headroom, as in step()/Mapper.replay
+            per_robot: dict[int, int] = {}
+            for r, *_ in part:
+                per_robot[r] = per_robot.get(r, 0) + 1
+            for r, n_new in per_robot.items():
+                while (
+                    int(self.state.counts[r]) + n_new
+                    > self.cfg.keyframe.max_keyframes
+                ):
+                    self._compact(r)
+            self._ensure_queue_headroom(chunk)
+
+            xyz_np = np.full((chunk, cap, 3), pc.PAD_VALUE, np.float32)
+            mask_np = np.zeros((chunk, cap), bool)
+            for j, (_, _, scan, _) in enumerate(part):
+                s = np.asarray(scan, np.float32)
+                m = min(s.shape[0], cap)
+                xyz_np[j, :m] = s[:m]
+                mask_np[j, :m] = True
+            robots = jnp.asarray(
+                [r for r, *_ in part], jnp.int32
+            ).reshape(R, B)
+            pose_R = jnp.stack([p.R for _, p, _, _ in part]).reshape(
+                R, B, 3, 3
+            )
+            pose_t = jnp.stack([p.t for _, p, _, _ in part]).reshape(R, B, 3)
+            stamps = jnp.asarray(
+                [s for *_, s in part], jnp.float32
+            ).reshape(R, B)
+            self.state, self._fleet_key, outs = _fleet_replay(
+                self.state,
+                self._fleet_key,
+                robots,
+                pose_R,
+                pose_t,
+                jnp.asarray(xyz_np).reshape(R, B, cap, 3),
+                jnp.asarray(mask_np).reshape(R, B, cap),
+                stamps,
+                self.cfg,
+            )
+            ok_i, idx_i, fit, ok_x, peer, p_idx, ratio = (
+                np.asarray(o) for o in outs
+            )
+            for b, (r, *_rest) in enumerate(part):
+                ev: dict = {"robot": r}
+                if ok_i[b]:
+                    ev["loop"] = {
+                        "matched_index": int(idx_i[b]),
+                        "fitness": float(fit[b]),
+                    }
+                if ok_x[b]:
+                    ev["inter_loop"] = {
+                        "robot": int(peer[b]),
+                        "matched_index": int(p_idx[b]),
+                        "inlier_ratio": float(ratio[b]),
+                    }
+                events.append(ev)
+            pos += chunk
+        # remainder through the staged step path (already gated)
+        for r, pose, scan, stamp in sel[pos:]:
+            cloud = pc.from_points(scan, cap)
+            self._fleet_staged.append((r, pose, cloud, stamp))
+            self._staged_per_robot[r] = self._staged_per_robot.get(r, 0) + 1
+        if self._fleet_staged:
+            events.extend(self.step())
+        return {
+            "accepted": accepted,
+            "events": events,
+            "keyframes": {
+                r: int(self.state.counts[r])
+                for r in range(self.cfg.number_of_robots)
+            },
+        }
 
     def spin(self, now: float | None = None) -> dict:
         """Throttled joint optimization (the loop-thread trigger of
