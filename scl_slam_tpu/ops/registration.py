@@ -1005,15 +1005,16 @@ def ransac_align_batched(
     The batched-lane counterpart for macro-batched inter-robot
     verification (reference ``include/distributedMapping.h:1210-1243``,
     one RPC at a time; here B verifications share every kernel): the 1-NN
-    correspondence pass — the dominant cost — runs through the predicated
-    batched kernel (:func:`_matches_batched`), so lanes with
-    ``active=False`` skip all tile compute; the hypothesis scoring
-    evaluates ``num_hypotheses`` Kabsch fits per lane in
-    ``hyp_chunk``-sized slabs (bounding the [B, chunk, N, 3] transient).
+    correspondence pass runs through the predicated batched kernel
+    (:func:`_matches_batched`), so lanes with ``active=False`` skip all
+    tile compute; hypotheses come from the closed-form triangle estimator
+    with degenerate-sample rejection (:func:`rigid_from_triangles` /
+    :func:`triangles_ok`) and are scored in ``hyp_chunk``-sized slabs
+    (bounding the [B, chunk, N] transient).
 
-    Lane semantics match B solo runs up to RNG: each lane draws its
-    minimal samples from an independent fold of ``key``. Inactive lanes
-    return identity poses with ``success=False``.
+    Lane semantics match B solo runs up to RNG (lanes draw disjoint
+    slices of one uniform field from ``key``). Inactive lanes return
+    identity poses with ``success=False``.
 
     source/target: Clouds with leading batch dim ([B, N, 3] / [B, M, 3]).
     Returns a RansacResult with [B]-leading leaves.
@@ -1035,8 +1036,8 @@ def ransac_align_batched(
     # per-lane minimal samples via inverse-CDF over valid correspondences:
     # B*H*s uniforms + a searchsorted, NOT a [B, H, N] gumbel field (16M+
     # transcendentals at fleet shapes). Within-triple duplicate draws are
-    # possible (probability ~s^2/n_good) and yield degenerate hypotheses
-    # that simply score low.
+    # possible (probability ~s^2/n_good); triangles_ok marks those
+    # hypotheses invalid below.
     H = num_hypotheses
     cnt = jnp.cumsum(good.astype(jnp.int32), axis=-1)          # [B, N]
     n_good_pts = cnt[:, -1]

@@ -53,6 +53,16 @@ def save(mapper: Mapper, path: str) -> None:
             for r, lst in mapper._evicted.items()
         },
     }
+    # FleetMapper adds host-side serving state: per-robot keyframe gates
+    # and the verification RNG key. Without these a restored fleet session
+    # would re-accept one gate-skipped frame per robot and replay a used
+    # RNG stream.
+    if hasattr(mapper, "_fleet_last_pose"):
+        meta["fleet_last_pose"] = {
+            str(r): np.asarray(se3.to_matrix(p)).tolist()
+            for r, p in mapper._fleet_last_pose.items()
+        }
+        meta["fleet_key"] = np.asarray(mapper._fleet_key).tolist()
     tmp = path + ".tmp"
     np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
     # np.savez appends .npz to names lacking it
@@ -96,4 +106,10 @@ def load(mapper: Mapper, path: str) -> Mapper:
         ]
         for r, lst in meta.get("evicted", {}).items()
     }
+    if hasattr(mapper, "_fleet_last_pose") and "fleet_last_pose" in meta:
+        mapper._fleet_last_pose = {
+            int(r): se3.from_matrix(jnp.asarray(T, jnp.float32))
+            for r, T in meta["fleet_last_pose"].items()
+        }
+        mapper._fleet_key = jnp.asarray(meta["fleet_key"], jnp.uint32)
     return mapper

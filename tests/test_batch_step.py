@@ -227,3 +227,51 @@ def test_public_replay_equals_add_frames():
     m1.optimize()
     m2.optimize()
     np.testing.assert_allclose(m2.trajectory(), m1.trajectory(), atol=5e-3)
+
+
+def test_replay_int16_transfer_equals_f32():
+    """transfer='int16' (5 mm fixed-point scan staging) must reproduce the
+    f32 replay's loop decisions and trajectories to quantization noise —
+    the wire format changes input BYTES, not pipeline semantics."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import small_cfg, drifting_odometry
+    from scl_slam_tpu.io import kitti
+    from scl_slam_tpu.runtime.mapper import Mapper
+
+    cfg = small_cfg()
+    world = kitti.SyntheticWorld(
+        seed=3, extent=120.0, n_clusters=80, pts_per_cluster=800
+    )
+    gt = kitti.loop_trajectory(n_frames=44, radius=40.0, revisit=True)
+    odom = drifting_odometry(gt, [0.0] * 6)
+    scans = [
+        np.asarray(world.scan_at(gt[k], max_points=4096, seed=k))
+        for k in range(len(gt))
+    ]
+    stamps = [0.1 * k for k in range(len(gt))]
+
+    outs, mappers = {}, {}
+    for mode in ("f32", "int16"):
+        m = Mapper(cfg)
+        outs[mode] = m.replay(
+            odom, scans, stamps=stamps, batch=4, chunk_batches=4,
+            transfer=mode,
+        )
+        mappers[mode] = m
+
+    a, b = outs["f32"]["loops"], outs["int16"]["loops"]
+    assert sum(l is not None for l in a) > 0, "workload closed no loops"
+    assert [l is None for l in a] == [l is None for l in b]
+    for la, lb in zip(a, b):
+        if la is not None:
+            assert la["matched_index"] == lb["matched_index"]
+            np.testing.assert_allclose(
+                la["fitness"], lb["fitness"], rtol=0.05, atol=5e-3
+            )
+    for mode in mappers:
+        mappers[mode].optimize()
+    np.testing.assert_allclose(
+        mappers["int16"].trajectory(), mappers["f32"].trajectory(),
+        atol=2e-2,
+    )

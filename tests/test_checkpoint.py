@@ -82,3 +82,41 @@ class TestCheckpoint:
         m3 = Mapper(other)
         with pytest.raises(ValueError, match="mismatch"):
             checkpoint.load(m3, path)
+
+    def test_fleet_roundtrip_restores_gates(self, tmp_path):
+        """FleetMapper checkpoints must carry the per-robot host-side
+        keyframe gates (and RNG key): without them a restored session
+        re-accepts a frame the gate had rejected."""
+        import dataclasses
+
+        from scl_slam_tpu.runtime import FleetMapper
+
+        cfg = dataclasses.replace(tiny_cfg(), number_of_robots=2)
+        fm = FleetMapper(cfg)
+        rng = np.random.RandomState(1)
+        for k in range(3):
+            xyz = rng.uniform(-20, 20, (400, 3)).astype(np.float32)
+            for r in (0, 1):
+                pose = se3.Pose(jnp.eye(3), jnp.array([3.0 * k, 2.0 * r, 0.0]))
+                assert fm.add_robot_frame(r, pose, xyz, stamp=0.1 * k)
+            fm.step()
+        path = str(tmp_path / "fleet.npz")
+        checkpoint.save(fm, path)
+
+        fm2 = checkpoint.load(FleetMapper(cfg), path)
+        np.testing.assert_array_equal(
+            np.asarray(fm2.state.counts), np.asarray(fm.state.counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fm2._fleet_key), np.asarray(fm._fleet_key)
+        )
+        # same pose again: the restored gate must reject it for both robots
+        xyz = rng.uniform(-20, 20, (400, 3)).astype(np.float32)
+        for r in (0, 1):
+            pose = se3.Pose(jnp.eye(3), jnp.array([6.0, 2.0 * r, 0.0]))
+            assert not fm2.add_robot_frame(r, pose, xyz)
+        # and a moved pose passes
+        assert fm2.add_robot_frame(
+            0, se3.Pose(jnp.eye(3), jnp.array([9.0, 0.0, 0.0])), xyz
+        )
+        assert len(fm2.step()) == 1
