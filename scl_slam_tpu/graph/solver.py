@@ -122,6 +122,246 @@ def _apply_H(x, g, JiT, JjT, w_e, JpT, w_p, D_damp_only):
     return y
 
 
+def make_dense_coarse(
+    cur_poses: se3.Pose,
+    JiT, JjT, JpT,          # transposed Jacobian blocks [6, 6, E] / [6, 6, P]
+    w_e, w_p,               # [E, 6] / [P, 6] weights (validity folded in)
+    gi, gj, p_idx,          # endpoint indices of the LOCAL edge/prior arrays
+    n_poses: int,
+    stride_l: int,
+    psum_axis: str | None = None,
+):
+    """Assemble + factor the dense Galerkin coarsest level; return its solve.
+
+    The rigid-body+hat-transfer coarse space, flat-index assembly, f32
+    equilibration, and shift ladder documented inline below. Shared by the
+    single-device solver (``solve``) and the factor-sharded distributed
+    solver (``parallel.sharded.sharded_solve``): under ``shard_map`` each
+    device assembles its EDGE SHARD's contribution and ``psum_axis``
+    reduces the dense matrix once — everything after the reduction is
+    replicated math, so the returned ``coarse_apply`` is bit-identical
+    across devices.
+
+    Returns ``coarse_apply(v) -> [N, 6]``: one direct coarse solve of v
+    restricted to the coarse space (P A_c^-1 P^T v), with one iterative
+    refinement step; the zero map if the factorization never goes finite.
+    """
+    dtype = JiT.dtype
+    C = (n_poses + stride_l - 1) // stride_l
+    cidx = jnp.arange(n_poses) // stride_l
+    # RIGID-BODY + hat transfer — the coarse space must
+    # contain the operator's near-nullspace (the elasticity
+    # AMG rule). Two measured failure modes shaped this:
+    # (a) piecewise-CONSTANT transfer cannot represent any
+    # smooth sloped error — a 4 m translation ramp at 32k
+    # poses restricted to a 0.015 m coarse force (H·ramp is
+    # zero in the chain interior), leaving the coarse grid
+    # blind to exactly the long-range modes it exists for;
+    # (b) hat-function transfer on raw (omega, v) dofs
+    # represents translation ramps but not BENDING — a pose
+    # chain's cheapest long-range motion is rotating early
+    # poses and letting downstream translations swing
+    # (energy w_rot·theta² vs w_trans·N·slope²), so the
+    # H-optimal coarse approximation buys cheap bending-like
+    # rot/trans combos and lands pointwise-wrong (measured:
+    # the -4..0 step approximated as -1.3..+2.8).
+    # Each coarse node therefore carries a WORLD rigid twist
+    # (omega_c, v_c) about its cell centroid m_c; pose k
+    # takes dx_k (BODY frame, right-multiplicative retract)
+    #   omega_k = R_k^T omega_c
+    #   v_k     = R_k^T (v_c + omega_c x (t_k - m_c))
+    # hat-blended between its two nearest cell centers.
+    # Translation ramps (omega=0, v varying) AND bending
+    # (omega_c with lever arms) are then exactly
+    # representable, so the Galerkin solve corrects both.
+    #
+    # The matrix is assembled FLAT by index arithmetic: a scatter
+    # into [C,6,C,6] would tile-pad the minormost (C, 6) dims
+    # 6->128 (12.9 GB at C=2048, the round-1 OOM); the flat
+    # [C*6*C*6] target plus [*,36] block updates stays at the
+    # unpadded 604 MB. C*6 must keep (C*6)^2 < 2^31 for the
+    # int32 flat index — C <= 7723, i.e. use more levels
+    # rather than a bigger dense coarse grid.
+    n6 = C * 6
+    assert n6 * n6 < 2**31, (
+        "dense coarse level too big; raise coarse_stride or "
+        "coarse_levels"
+    )
+    u = (jnp.arange(n_poses, dtype=dtype) + 0.5) / stride_l - 0.5
+    cn0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, C - 1)
+    cn1 = jnp.minimum(cn0 + 1, C - 1)
+    wn1 = jnp.clip(u - cn0, 0.0, 1.0)
+    wn0 = 1.0 - wn1
+
+    # cell centroids of the current translations
+    t_cur = cur_poses.t
+    csum = jnp.zeros((C, 3), t_cur.dtype).at[cidx].add(t_cur)
+    ccnt = jnp.zeros((C,), t_cur.dtype).at[cidx].add(1.0)
+    m_c = csum / jnp.maximum(ccnt, 1.0)[:, None]
+
+    def pblock(node, w):
+        """[N, 6, 6] body-frame prolongation blocks P_k,node
+        (weight folded in)."""
+        r = t_cur - m_c[node]                    # lever [N,3]
+        RT = jnp.swapaxes(cur_poses.R, -1, -2)
+        zero = jnp.zeros_like(r[:, 0])
+        skew_r = jnp.stack(
+            [
+                jnp.stack([zero, -r[:, 2], r[:, 1]], -1),
+                jnp.stack([r[:, 2], zero, -r[:, 0]], -1),
+                jnp.stack([-r[:, 1], r[:, 0], zero], -1),
+            ],
+            -2,
+        )
+        top = jnp.concatenate(
+            [RT, jnp.zeros_like(RT)], axis=-1
+        )                                         # [N,3,6]
+        bot = jnp.concatenate(
+            [-jnp.einsum("nab,nbc->nac", RT, skew_r), RT],
+            axis=-1,
+        )
+        return (
+            jnp.concatenate([top, bot], axis=-2)
+            * w[:, None, None]
+        )
+
+    P0 = pblock(cn0, wn0)                        # [N,6,6]
+    P1 = pblock(cn1, wn1)
+
+    # per-edge/prior coarse Jacobians, transposed [6,6,E]
+    def fold(JT, idx, Pb):
+        return jnp.einsum("abe,ebc->ace", JT, Pb[idx])
+
+    slots_e = [
+        (cn0[gi], fold(JiT, gi, P0)),
+        (cn1[gi], fold(JiT, gi, P1)),
+        (cn0[gj], fold(JjT, gj, P0)),
+        (cn1[gj], fold(JjT, gj, P1)),
+    ]
+    slots_p = [
+        (cn0[p_idx], fold(JpT, p_idx, P0)),
+        (cn1[p_idx], fold(JpT, p_idx, P1)),
+    ]
+    a6 = jnp.arange(6, dtype=jnp.int32)
+
+    def rows(c):
+        return c[:, None] * 6 + a6               # [*, 6]
+
+    def flat_blk(r, c):
+        return (r[:, :, None] * n6 + c[:, None, :]).reshape(
+            -1, 36
+        )
+
+    # Chunked accumulation: with stride_l poses per supernode
+    # a single flat scatter adds up to ~stride_l edge blocks
+    # SERIALLY into each target — f32 error ~dups*eps wiped
+    # out the small (long-range) eigenvalues at stride 4096
+    # (observed: asym 4e1, min eig -2e-2 after equilibration
+    # => Cholesky NaN). Spreading edges over K chunk copies
+    # and tree-summing cuts the serial depth to ~stride_l/K.
+    E_local = JiT.shape[2]
+    K = 1
+    while (
+        K < 256
+        and stride_l // K > 64
+        and 2 * K * n6 * n6 * 4 <= (1 << 30)
+    ):
+        K *= 2
+    chunk = (jnp.arange(E_local, dtype=jnp.int32) % K) * (n6 * n6)
+    as36 = lambda B: B.reshape(B.shape[0], 36)
+    Hc = jnp.zeros((K * n6 * n6,), dtype)
+    ch = chunk[:, None]
+    for na, Ka in slots_e:
+        for nb, Kb in slots_e:
+            blk = jnp.einsum("abe,ea,ace->ebc", Ka, w_e, Kb)
+            Hc = Hc.at[flat_blk(rows(na), rows(nb)) + ch].add(
+                as36(blk)
+            )
+    Hc = Hc.reshape(K, n6 * n6).sum(0)
+    for na, Ka in slots_p:
+        for nb, Kb in slots_p:
+            blk = jnp.einsum("abp,pa,acp->pbc", Ka, w_p, Kb)
+            Hc = Hc.at[
+                flat_blk(rows(na), rows(nb)).reshape(-1)
+            ].add(as36(blk).reshape(-1))
+    Hc = Hc.reshape(n6, n6)
+    if psum_axis is not None:
+        # factor-sharded assembly: each device contributed its edge
+        # shard (and, via the caller's w_p masking, exactly one copy of
+        # the priors); ONE reduction makes the dense matrix global
+        Hc = jax.lax.psum(Hc, psum_axis)
+    Hc = 0.5 * (Hc + Hc.T)
+    # Invertibility floor for EMPTY supernodes only: a
+    # relative 1e-8 diagonal shift. Do NOT aggregate the
+    # per-pose damp_blocks here — summed over stride^levels
+    # poses they overwhelm the coarse grid's smallest
+    # (smooth-mode) eigenvalues, silently zeroing the
+    # long-range correction the dense level exists to
+    # provide (measured: 0.02/pose damping aggregated over
+    # 256 poses killed 75% of a 4 m ramp correction at 32k).
+    eps_c = 1e-8 * jnp.max(jnp.diagonal(Hc)) + 1e-12
+    Hc = Hc + eps_c * jnp.eye(n6, dtype=dtype)
+    # same equilibration story as the mid levels, worse: the
+    # dense coarsest aggregates stride^levels poses per
+    # supernode (pivots ~1e13 at stride 4096 vs the 1e4
+    # gauge prior), far beyond f32 Cholesky's range. The
+    # regularizer on the unit-diagonal form must sit BELOW
+    # the equilibrated smooth-mode eigenvalue
+    # (~(pi/2C)^2 * w / diag): 1e-5 ate 10% of the smooth
+    # correction at C=128; 1e-6 + one refinement step in
+    # coarse_apply brings the solve error to <1%.
+    sc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hc), 1e-20))
+    Hc_eq = Hc * sc[:, None] * sc[None, :] + 1e-6 * jnp.eye(
+        n6, dtype=dtype
+    )
+    # Shift ladder: the Galerkin coarse matrix is PSD in
+    # exact arithmetic, but when most supernodes are EMPTY
+    # (fixed-capacity pose arrays at low occupancy — e.g. a
+    # fresh fleet with 70 active poses in an 8192-slot
+    # array) the equilibrated matrix is nearly rank-
+    # deficient and f32 assembly noise drives its smallest
+    # eigenvalues negative past the 1e-6 shift (measured:
+    # -2e-3 -> Cholesky NaN -> NaN poses in the live fleet
+    # drain). Escalate the shift until the factorization is
+    # finite; if even the largest fails, drop the coarse
+    # term entirely (the additive preconditioner stays SPD
+    # without it, and x0/post-correction recompute honest
+    # residuals around whatever coarse_apply returns).
+    eyen = jnp.eye(n6, dtype=dtype)
+    Lc = jnp.linalg.cholesky(Hc_eq)
+    for shift in (1e-3, 1e-1):
+        retry = jnp.linalg.cholesky(Hc_eq + shift * eyen)
+        bad = jnp.any(jnp.isnan(Lc))
+        Lc = jnp.where(bad, retry, Lc)
+    coarse_ok = jnp.where(jnp.any(jnp.isnan(Lc)), 0.0, 1.0).astype(dtype)
+    Lc = jnp.where(jnp.isnan(Lc), eyen, Lc)
+
+    def coarse_apply(v):
+        """P A_c^-1 P^T v — the dense coarsest-level solve alone.
+
+        Rigid-body+hat restriction/prolongation (see assembly note).
+        One iterative-refinement step (in the equilibrated space)
+        halves the f32 Cholesky's smooth-mode solve error; the
+        operator stays symmetric PSD (2A^-1 - A^-1 H A^-1 with
+        spec(A^-1 H) <= 1 under the positive shift)."""
+        vc = (
+            jnp.zeros((C, 6), v.dtype)
+            .at[cn0].add(jnp.einsum("nab,na->nb", P0, v))
+            .at[cn1].add(jnp.einsum("nab,na->nb", P1, v))
+        )
+        r_eq = sc * vc.reshape(-1)
+        y = jax.scipy.linalg.cho_solve((Lc, True), r_eq)
+        y = y + jax.scipy.linalg.cho_solve(
+            (Lc, True), r_eq - Hc_eq @ y
+        )
+        yc = (y * sc).reshape(C, 6) * coarse_ok
+        return jnp.einsum("nab,nb->na", P0, yc[cn0]) + jnp.einsum(
+            "nab,nb->na", P1, yc[cn1]
+        )
+
+    return coarse_apply
+
+
 def auto_coarse(n_poses: int) -> tuple[int, int]:
     """Preconditioner hierarchy from pose count (coarse_stride = -1).
 
@@ -260,219 +500,14 @@ def solve(
                     Ll = jnp.where(jnp.isnan(Ll), eye6, Ll)
                     jacobi_levels.append((cidx, sl, Ll))
                 else:
-                    # Coarsest: dense Galerkin PᵀHP, one MXU Cholesky. The
-                    # matrix is assembled FLAT by index arithmetic: a scatter
-                    # into [C,6,C,6] would tile-pad the minormost (C, 6) dims
-                    # 6->128 (12.9 GB at C=2048, the round-1 OOM); the flat
-                    # [C*6*C*6] target plus [*,36] block updates stays at the
-                    # unpadded 604 MB. C*6 must keep (C*6)^2 < 2^31 for the
-                    # int32 flat index — C <= 7723, i.e. use more levels
-                    # rather than a bigger dense coarse grid.
-                    #
-                    # RIGID-BODY + hat transfer — the coarse space must
-                    # contain the operator's near-nullspace (the elasticity
-                    # AMG rule). Two measured failure modes shaped this:
-                    # (a) piecewise-CONSTANT transfer cannot represent any
-                    # smooth sloped error — a 4 m translation ramp at 32k
-                    # poses restricted to a 0.015 m coarse force (H·ramp is
-                    # zero in the chain interior), leaving the coarse grid
-                    # blind to exactly the long-range modes it exists for;
-                    # (b) hat-function transfer on raw (omega, v) dofs
-                    # represents translation ramps but not BENDING — a pose
-                    # chain's cheapest long-range motion is rotating early
-                    # poses and letting downstream translations swing
-                    # (energy w_rot·theta² vs w_trans·N·slope²), so the
-                    # H-optimal coarse approximation buys cheap bending-like
-                    # rot/trans combos and lands pointwise-wrong (measured:
-                    # the -4..0 step approximated as -1.3..+2.8).
-                    # Each coarse node therefore carries a WORLD rigid twist
-                    # (omega_c, v_c) about its cell centroid m_c; pose k
-                    # takes dx_k (BODY frame, right-multiplicative retract)
-                    #   omega_k = R_k^T omega_c
-                    #   v_k     = R_k^T (v_c + omega_c x (t_k - m_c))
-                    # hat-blended between its two nearest cell centers.
-                    # Translation ramps (omega=0, v varying) AND bending
-                    # (omega_c with lever arms) are then exactly
-                    # representable, so the Galerkin solve corrects both.
-                    n6 = C * 6
-                    assert n6 * n6 < 2**31, (
-                        "dense coarse level too big; raise coarse_stride or "
-                        "coarse_levels"
+                    # Coarsest: dense Galerkin PᵀHP, one MXU Cholesky —
+                    # assembly, transfer operators, equilibration, and the
+                    # f32 shift ladder live in make_dense_coarse (shared
+                    # with the factor-sharded distributed solver)
+                    coarse_apply = make_dense_coarse(
+                        cur_poses, JiT, JjT, JpT, w_e, w_p,
+                        g.i, g.j, g.prior_idx, n_poses, stride_l,
                     )
-                    u = (jnp.arange(n_poses, dtype=JiT.dtype) + 0.5) / (
-                        stride_l
-                    ) - 0.5
-                    cn0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, C - 1)
-                    cn1 = jnp.minimum(cn0 + 1, C - 1)
-                    wn1 = jnp.clip(u - cn0, 0.0, 1.0)
-                    wn0 = 1.0 - wn1
-
-                    # cell centroids of the current translations
-                    t_cur = cur_poses.t
-                    csum = jnp.zeros((C, 3), t_cur.dtype).at[cidx].add(t_cur)
-                    ccnt = jnp.zeros((C,), t_cur.dtype).at[cidx].add(1.0)
-                    m_c = csum / jnp.maximum(ccnt, 1.0)[:, None]
-
-                    def pblock(node, w):
-                        """[N, 6, 6] body-frame prolongation blocks P_k,node
-                        (weight folded in)."""
-                        r = t_cur - m_c[node]                    # lever [N,3]
-                        RT = jnp.swapaxes(cur_poses.R, -1, -2)
-                        zero = jnp.zeros_like(r[:, 0])
-                        skew_r = jnp.stack(
-                            [
-                                jnp.stack([zero, -r[:, 2], r[:, 1]], -1),
-                                jnp.stack([r[:, 2], zero, -r[:, 0]], -1),
-                                jnp.stack([-r[:, 1], r[:, 0], zero], -1),
-                            ],
-                            -2,
-                        )
-                        top = jnp.concatenate(
-                            [RT, jnp.zeros_like(RT)], axis=-1
-                        )                                         # [N,3,6]
-                        bot = jnp.concatenate(
-                            [-jnp.einsum("nab,nbc->nac", RT, skew_r), RT],
-                            axis=-1,
-                        )
-                        return (
-                            jnp.concatenate([top, bot], axis=-2)
-                            * w[:, None, None]
-                        )
-
-                    P0 = pblock(cn0, wn0)                        # [N,6,6]
-                    P1 = pblock(cn1, wn1)
-
-                    # per-edge/prior coarse Jacobians, transposed [6,6,E]
-                    def fold(JT, idx, P):
-                        return jnp.einsum("abe,ebc->ace", JT, P[idx])
-
-                    slots_e = [
-                        (cn0[g.i], fold(JiT, g.i, P0)),
-                        (cn1[g.i], fold(JiT, g.i, P1)),
-                        (cn0[g.j], fold(JjT, g.j, P0)),
-                        (cn1[g.j], fold(JjT, g.j, P1)),
-                    ]
-                    slots_p = [
-                        (cn0[g.prior_idx], fold(JpT, g.prior_idx, P0)),
-                        (cn1[g.prior_idx], fold(JpT, g.prior_idx, P1)),
-                    ]
-                    a6 = jnp.arange(6, dtype=jnp.int32)
-
-                    def rows(c):
-                        return c[:, None] * 6 + a6               # [*, 6]
-
-                    def flat_blk(r, c):
-                        return (r[:, :, None] * n6 + c[:, None, :]).reshape(
-                            -1, 36
-                        )
-
-                    # Chunked accumulation: with stride_l poses per supernode
-                    # a single flat scatter adds up to ~stride_l edge blocks
-                    # SERIALLY into each target — f32 error ~dups*eps wiped
-                    # out the small (long-range) eigenvalues at stride 4096
-                    # (observed: asym 4e1, min eig -2e-2 after equilibration
-                    # => Cholesky NaN). Spreading edges over K chunk copies
-                    # and tree-summing cuts the serial depth to ~stride_l/K.
-                    K = 1
-                    while (
-                        K < 256
-                        and stride_l // K > 64
-                        and 2 * K * n6 * n6 * 4 <= (1 << 30)
-                    ):
-                        K *= 2
-                    chunk = (
-                        jnp.arange(g.edge_capacity, dtype=jnp.int32) % K
-                    ) * (n6 * n6)
-                    as36 = lambda B: B.reshape(B.shape[0], 36)
-                    Hc = jnp.zeros((K * n6 * n6,), JiT.dtype)
-                    ch = chunk[:, None]
-                    for na, Ka in slots_e:
-                        for nb, Kb in slots_e:
-                            blk = jnp.einsum("abe,ea,ace->ebc", Ka, w_e, Kb)
-                            Hc = Hc.at[flat_blk(rows(na), rows(nb)) + ch].add(
-                                as36(blk)
-                            )
-                    Hc = Hc.reshape(K, n6 * n6).sum(0)
-                    for na, Ka in slots_p:
-                        for nb, Kb in slots_p:
-                            blk = jnp.einsum("abp,pa,acp->pbc", Ka, w_p, Kb)
-                            Hc = Hc.at[
-                                flat_blk(rows(na), rows(nb)).reshape(-1)
-                            ].add(as36(blk).reshape(-1))
-                    Hc = Hc.reshape(n6, n6)
-                    Hc = 0.5 * (Hc + Hc.T)
-                    # Invertibility floor for EMPTY supernodes only: a
-                    # relative 1e-8 diagonal shift. Do NOT aggregate the
-                    # per-pose damp_blocks here — summed over stride^levels
-                    # poses they overwhelm the coarse grid's smallest
-                    # (smooth-mode) eigenvalues, silently zeroing the
-                    # long-range correction the dense level exists to
-                    # provide (measured: 0.02/pose damping aggregated over
-                    # 256 poses killed 75% of a 4 m ramp correction at 32k).
-                    eps_c = 1e-8 * jnp.max(jnp.diagonal(Hc)) + 1e-12
-                    Hc = Hc + eps_c * jnp.eye(n6, dtype=JiT.dtype)
-                    # same equilibration story as the mid levels, worse: the
-                    # dense coarsest aggregates stride^levels poses per
-                    # supernode (pivots ~1e13 at stride 4096 vs the 1e4
-                    # gauge prior), far beyond f32 Cholesky's range. The
-                    # regularizer on the unit-diagonal form must sit BELOW
-                    # the equilibrated smooth-mode eigenvalue
-                    # (~(pi/2C)^2 * w / diag): 1e-5 ate 10% of the smooth
-                    # correction at C=128; 1e-6 + one refinement step in
-                    # coarse_apply brings the solve error to <1%.
-                    sc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hc), 1e-20))
-                    Hc_eq = Hc * sc[:, None] * sc[None, :] + 1e-6 * jnp.eye(
-                        n6, dtype=JiT.dtype
-                    )
-                    # Shift ladder: the Galerkin coarse matrix is PSD in
-                    # exact arithmetic, but when most supernodes are EMPTY
-                    # (fixed-capacity pose arrays at low occupancy — e.g. a
-                    # fresh fleet with 70 active poses in an 8192-slot
-                    # array) the equilibrated matrix is nearly rank-
-                    # deficient and f32 assembly noise drives its smallest
-                    # eigenvalues negative past the 1e-6 shift (measured:
-                    # -2e-3 -> Cholesky NaN -> NaN poses in the live fleet
-                    # drain). Escalate the shift until the factorization is
-                    # finite; if even the largest fails, drop the coarse
-                    # term entirely (the additive preconditioner stays SPD
-                    # without it, and x0/post-correction recompute honest
-                    # residuals around whatever coarse_apply returns).
-                    eyen = jnp.eye(n6, dtype=JiT.dtype)
-                    Lc = jnp.linalg.cholesky(Hc_eq)
-                    coarse_ok = jnp.ones((), JiT.dtype)
-                    for shift in (1e-3, 1e-1):
-                        retry = jnp.linalg.cholesky(Hc_eq + shift * eyen)
-                        bad = jnp.any(jnp.isnan(Lc))
-                        Lc = jnp.where(bad, retry, Lc)
-                    coarse_ok = jnp.where(
-                        jnp.any(jnp.isnan(Lc)), 0.0, coarse_ok
-                    )
-                    Lc = jnp.where(jnp.isnan(Lc), eyen, Lc)
-                    top = (cn0, cn1, P0, P1, C)
-
-            def coarse_apply(v):
-                """P A_c^-1 P^T v — the dense coarsest-level solve alone.
-
-                Rigid-body+hat restriction/prolongation (see assembly note).
-                One iterative-refinement step (in the equilibrated space)
-                halves the f32 Cholesky's smooth-mode solve error; the
-                operator stays symmetric PSD (2A^-1 - A^-1 H A^-1 with
-                spec(A^-1 H) <= 1 under the positive shift)."""
-                c0_, c1_, P0_, P1_, C_ = top
-                vc = (
-                    jnp.zeros((C_, 6), v.dtype)
-                    .at[c0_].add(jnp.einsum("nab,na->nb", P0_, v))
-                    .at[c1_].add(jnp.einsum("nab,na->nb", P1_, v))
-                )
-                r_eq = sc * vc.reshape(-1)
-                y = jax.scipy.linalg.cho_solve((Lc, True), r_eq)
-                y = y + jax.scipy.linalg.cho_solve(
-                    (Lc, True), r_eq - Hc_eq @ y
-                )
-                yc = (y * sc).reshape(C_, 6) * coarse_ok
-                return jnp.einsum("nab,nb->na", P0_, yc[c0_]) + jnp.einsum(
-                    "nab,nb->na", P1_, yc[c1_]
-                )
 
             def precond(v):
                 z = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]

@@ -91,7 +91,11 @@ def _edge_shard_specs(axis: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis", "gn_iters", "cg_iters")
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "gn_iters", "cg_iters", "coarse_stride",
+        "coarse_levels",
+    ),
 )
 def sharded_solve(
     mesh: Mesh,
@@ -104,6 +108,8 @@ def sharded_solve(
     gamma: float = 1.0,
     rotation_change_threshold: float = 0.0,
     pose_change_threshold: float = 0.0,
+    coarse_stride: int = -1,
+    coarse_levels: int = 1,
 ):
     """Distributed GN: edges sharded across ``axis``, poses replicated.
 
@@ -123,10 +129,32 @@ def sharded_solve(
     threshold <= 0 makes its test always-pass (so e.g. rotation_change
     _threshold=0 gives translation-only stopping); if BOTH are <= 0 the
     early-stop is disabled entirely and all ``gn_iters`` run.
+
+    ``coarse_stride``/``coarse_levels``: block-Jacobi CG needs O(N)
+    iterations to carry a loop correction across an N-pose chain, exactly
+    like the single-device solver — so the same dense Galerkin coarsest
+    level (``graph.solver.make_dense_coarse``) seeds and closes every CG
+    solve here too. Each device assembles its EDGE SHARD's contribution
+    and one ``psum`` makes the dense matrix global; the factorization and
+    coarse solves are replicated math. -1 (default) auto-selects from the
+    pose count (``auto_coarse``, collapsed to one dense level at
+    ``stride**levels``); 0 disables. Unlike ``solve`` there are no
+    intermediate Jacobi levels — at mesh scales the two-level additive
+    form already makes long-range corrections O(1) in CG iterations.
     """
-    from ..graph.solver import _edge_jac, _edge_residual, _prior_jac, _prior_residual
+    from ..graph.solver import (
+        _edge_jac,
+        _edge_residual,
+        _prior_jac,
+        _prior_residual,
+        auto_coarse,
+        make_dense_coarse,
+    )
 
     n_poses = poses.t.shape[0]
+    if coarse_stride < 0:
+        coarse_stride, coarse_levels = auto_coarse(n_poses)
+    stride_l = coarse_stride ** coarse_levels if coarse_stride > 0 else 0
     E = g.edge_capacity
     n_dev = mesh.shape[axis]
     eshard = E // n_dev
@@ -185,8 +213,31 @@ def sharded_solve(
             D = H_diag + damp
             L = jnp.linalg.cholesky(D)
 
-            def precond(v):
-                return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+            if stride_l > 0:
+                # dense coarsest level, assembled from this device's edge
+                # shard and psum-reduced (see docstring). Note the helper
+                # takes TRANSPOSED [6, 6, E] blocks.
+                coarse_apply = make_dense_coarse(
+                    cur,
+                    jnp.transpose(Ji, (1, 2, 0)),
+                    jnp.transpose(Jj, (1, 2, 0)),
+                    jnp.transpose(Jp, (1, 2, 0)),
+                    w_e, w_p, gi, gj, p_idx, n_poses, stride_l,
+                    psum_axis=axis,
+                )
+
+                def precond(v):
+                    z = jax.scipy.linalg.cho_solve(
+                        (L, True), v[..., None]
+                    )[..., 0]
+                    return z + coarse_apply(v)
+            else:
+                coarse_apply = None
+
+                def precond(v):
+                    return jax.scipy.linalg.cho_solve(
+                        (L, True), v[..., None]
+                    )[..., 0]
 
             def Hx(v):
                 u = (
@@ -201,8 +252,17 @@ def sharded_solve(
                 y = jax.lax.psum(y, axis)
                 return y + jnp.einsum("nab,nb->na", damp, v)
 
-            x0 = jnp.zeros_like(b)
-            z0 = precond(b)
+            # coarse-first CG start + post coarse correction: same f32
+            # rationale as graph.solver.solve (smooth modes sit below f32
+            # matvec noise; the direct coarse solve reads them off b and
+            # restores them after CG's arithmetic drift)
+            if coarse_apply is not None:
+                x0 = coarse_apply(b)
+                r0 = b - Hx(x0)
+            else:
+                x0 = jnp.zeros_like(b)
+                r0 = b
+            z0 = precond(r0)
 
             def cg_step(cg, _):
                 x, r, z, p, rz = cg
@@ -216,8 +276,14 @@ def sharded_solve(
                 return (x2, r2, z2, p2, rz2), None
 
             (dx, *_), _ = jax.lax.scan(
-                cg_step, (x0, b, z0, z0, jnp.sum(b * z0)), None, length=cg_iters
+                cg_step, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None,
+                length=cg_iters,
             )
+            if coarse_apply is not None:
+                # V-cycle closing leg against the UNDAMPED operator
+                # (graph.solver.solve's post-correction rationale)
+                damp_dx = jnp.einsum("nab,nb->na", damp, dx)
+                dx = dx + coarse_apply(b - (Hx(dx) - damp_dx))
             # over-relaxed update, frozen once converged (gamma / rotThres /
             # poseThres semantics — see docstring)
             dx = gam * dx

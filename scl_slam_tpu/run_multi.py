@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--root")
     p.add_argument("--sequence", default="05")
     p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--config", help="YAML config path (robot identity "
+                   "fields are overridden per robot)")
     p.add_argument("--overlap", type=int, default=10,
                    help="frames of overlap between adjacent robot segments")
     p.add_argument("--output", default="/tmp/scl_slam_tpu_multi")
@@ -43,7 +45,7 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from .config import SlamConfig
+    from .config import SlamConfig, load_config
     from .geometry import se3
     from .io import kitti as kio
     from .io import trajectory as tio
@@ -51,6 +53,16 @@ def main(argv=None):
     from .runtime.transport import LocalBus
 
     R = args.robots
+
+    def make_cfg(r: int) -> SlamConfig:
+        """Per-robot config: YAML base (if given) with identity overrides."""
+        import dataclasses
+
+        base = load_config(args.config) if args.config else SlamConfig()
+        return dataclasses.replace(
+            base, number_of_robots=R, robot_id=r,
+            robot_name=chr(ord("a") + r),
+        )
 
     if args.dataset == "kitti":
         if not args.root:
@@ -77,9 +89,7 @@ def main(argv=None):
     if args.fleet:
         from .runtime import FleetMapper
 
-        fleet = FleetMapper(
-            SlamConfig(number_of_robots=R, robot_id=0, robot_name="a")
-        )
+        fleet = FleetMapper(make_cfg(0))
         t0 = time.perf_counter()
         inter_loops = intra_loops = 0
         for step in range(max(len(s) for s in splits)):
@@ -104,10 +114,7 @@ def main(argv=None):
         bus = LocalBus()
         mappers = []
         for r in range(R):
-            cfg = SlamConfig(
-                number_of_robots=R, robot_id=r, robot_name=chr(ord("a") + r)
-            )
-            m = Mapper(cfg)
+            m = Mapper(make_cfg(r))
             m.attach_bus(bus)
             mappers.append(m)
 

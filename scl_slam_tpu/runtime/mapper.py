@@ -1245,6 +1245,8 @@ def _drain_queue_and_optimize_mesh(
             gamma=cfg.optimizer.gamma,
             rotation_change_threshold=cfg.optimizer.rotation_change_threshold,
             pose_change_threshold=cfg.optimizer.pose_change_threshold,
+            coarse_stride=cfg.optimizer.coarse_stride,
+            coarse_levels=cfg.optimizer.coarse_levels,
         )
         return new_poses.R, new_poses.t, chis
 

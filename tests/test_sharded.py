@@ -79,3 +79,85 @@ class TestShardedSolve:
         err = np.asarray(jnp.linalg.norm(poses_sh.t[:n] - gt.t, axis=-1))
         assert err.mean() < 0.5
         assert np.all(np.isfinite(np.asarray(chis)))
+
+
+class TestShardedCoarseLevel:
+    """The dense Galerkin coarsest level (shared with graph.solver via
+    make_dense_coarse, psum-assembled across edge shards) must give the
+    sharded solver the same long-range convergence the single-device
+    solver has: block-Jacobi CG alone needs O(N) iterations to carry a
+    correction across an N-pose chain."""
+
+    def test_coarse_midscale_matches_single_device(self, mesh):
+        """Mirror of test_solver_scale's midscale case through the SHARDED
+        path: 512-pose circle with loops at 4096 capacity; the auto coarse
+        hierarchy must (a) track the single-device solver's result and
+        (b) beat block-Jacobi-only at the same budget. (Pointwise recovery
+        of arbitrarily long smooth errors is NOT asserted anywhere on the
+        f32 PCG paths — docs/solver_scaling.md documents that wall.)"""
+        n, cap = 512, 4096
+        gt = circle_trajectory(n, radius=80.0)
+        g = noisy_odometry_graph(
+            gt, jax.random.PRNGKey(2), sigma_rot=0.002, sigma_trans=0.02,
+            cap=cap,
+        )
+        for (a, b) in [(n - 1, 0), (n // 2, 0), (3 * n // 4, n // 4)]:
+            z = se3.between(se3.index(gt, a), se3.index(gt, b))
+            g = F.add_between(g, a, b, z, [1.0 / 0.01] * 6)
+        init = pad_poses(integrate_odometry(g, n, se3.index(gt, 0)), cap)
+        err0 = np.asarray(jnp.linalg.norm(init.t[:n] - gt.t, axis=-1)).mean()
+
+        res_single = solver.solve(
+            g, init, gn_iters=8, cg_iters=96, coarse_stride=-1
+        )
+        poses_c, chis_c = sharded.sharded_solve(
+            mesh, "shard", g, init, gn_iters=8, cg_iters=96,
+            coarse_stride=-1,
+        )
+        poses_bj, chis_bj = sharded.sharded_solve(
+            mesh, "shard", g, init, gn_iters=8, cg_iters=96,
+            coarse_stride=0,
+        )
+        err_c = np.asarray(
+            jnp.linalg.norm(poses_c.t[:n] - gt.t, axis=-1)
+        ).mean()
+        assert np.isfinite(np.asarray(chis_c)).all()
+        assert err_c < 0.5 * err0
+        # tracks the single-device hierarchy's answer
+        chi_single = float(res_single.chi2_history[-1])
+        assert float(chis_c[-1]) < 3.0 * max(chi_single, 1e-3)
+        # and the coarse level is what does it
+        assert float(chis_c[-1]) < 0.3 * float(chis_bj[-1]), (
+            float(chis_c[-1]), float(chis_bj[-1])
+        )
+
+    def test_low_occupancy_auto_hierarchy_finite(self, mesh):
+        """The fleet-drain shape (8192-slot capacity, a few dozen active
+        poses in two robot blocks) through the SHARDED path: same f32
+        coarse-Cholesky regression the single-device solver hit
+        (tests/test_graph.py::TestLowOccupancyAutoHierarchy)."""
+        cap, block = 8192, 4096
+        n0, n1 = 48, 33
+        gt0 = circle_trajectory(n0, radius=70.0)
+        gt1 = circle_trajectory(n1, radius=70.0)
+        g = F.make_graph(edge_capacity=8192, prior_capacity=8)
+        g = F.add_prior(g, 0, se3.index(gt0, 0), [10.0] * 6)
+        g = F.add_prior(g, block, se3.index(gt1, 0), [10.0] * 3 + [1e-4] * 3)
+        for i in range(n0 - 1):
+            z = se3.between(se3.index(gt0, i), se3.index(gt0, i + 1))
+            g = F.add_between(g, i, i + 1, z, [200.0] * 6)
+        for i in range(n1 - 1):
+            z = se3.between(se3.index(gt1, i), se3.index(gt1, i + 1))
+            g = F.add_between(g, block + i, block + i + 1, z, [200.0] * 6)
+        z = se3.between(se3.index(gt0, 0), se3.index(gt1, 32 % n1))
+        g = F.add_between(g, 0, block + 32 % n1, z, [1.4] * 6)
+        init = se3.identity((cap,))
+        init = se3.Pose(
+            init.R.at[:n0].set(gt0.R).at[block : block + n1].set(gt1.R),
+            init.t.at[:n0].set(gt0.t).at[block : block + n1].set(gt1.t),
+        )
+        poses, chis = sharded.sharded_solve(
+            mesh, "shard", g, init, gn_iters=3, cg_iters=16,
+        )
+        assert np.isfinite(np.asarray(chis)).all()
+        assert np.isfinite(np.asarray(poses.t)).all()
