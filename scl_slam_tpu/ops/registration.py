@@ -161,9 +161,19 @@ def nearest_neighbors(
         idx = jnp.argmin(d2, axis=-1)
         return jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], idx
 
-    nb = max(1, nq // block)
-    d2, idx = jax.lax.map(one_block, query.reshape(nb, -1, 3))
-    return d2.reshape(nq), idx.reshape(nq)
+    # pad to a whole number of blocks: the blocked map needs block | nq
+    # (a 1000-point query crashed the reshape before this; fuzz r3)
+    rem = (-nq) % block if nq > block else 0
+    q = (
+        jnp.concatenate(
+            [query, jnp.full((rem, 3), PAD_VALUE, query.dtype)]
+        )
+        if rem
+        else query
+    )
+    nb = max(1, q.shape[0] // block)
+    d2, idx = jax.lax.map(one_block, q.reshape(nb, -1, 3))
+    return d2.reshape(-1)[:nq], idx.reshape(-1)[:nq]
 
 
 def nearest_select(

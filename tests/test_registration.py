@@ -357,3 +357,21 @@ class TestTargetStride:
         r = reg.icp(source, target, max_iters=5, max_corr_dist=5.0,
                     target_stride=3)
         assert np.isfinite(float(r.inlier_frac))
+
+
+def test_nearest_neighbors_non_divisible_query():
+    """Regression (round-3 config fuzz): a query count that the block size
+    doesn't divide (e.g. points_per_keyframe=1000) crashed the tiled
+    fallback's reshape. Padding must give identical results to the dense
+    computation."""
+    key = jax.random.PRNGKey(40)
+    q = jax.random.uniform(key, (1000, 3), minval=-20, maxval=20)
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (700, 3),
+                           minval=-20, maxval=20)
+    d2, idx = reg.nearest_neighbors(q, t)
+    ref = np.asarray(
+        ((np.asarray(q)[:, None, :] - np.asarray(t)[None]) ** 2).sum(-1)
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref.argmin(1))
+    # d2 comes from the expanded matmul form: f32 error ~eps * |coords|^2
+    np.testing.assert_allclose(np.asarray(d2), ref.min(1), atol=1e-3)
