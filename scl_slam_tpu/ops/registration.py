@@ -802,15 +802,17 @@ def icp_batched(
 
     if reuse_final_fitness and not MXU_NN:
         # fitness from the final full-resolution iteration's statistics:
-        # the same exact per-coordinate kernel at the pose ONE sub-`tol`
-        # update before the returned one, so the value differs from a
-        # recomputation by O(tol x point scale) — far below gate
-        # relevance — while saving a whole Nq x Nt NN pass per
-        # verification. Lanes frozen by the stall/hopeless exits carry a
-        # larger pose mismatch, but their fitness sits far above the gate
-        # by construction (that is why they froze). Under MXU_NN the
-        # iteration statistics inherit selection noise, so the exact
-        # recomputation below stays mandatory.
+        # the same exact per-coordinate kernel at the pose one update
+        # before the returned one, saving a whole Nq x Nt NN pass per
+        # verification. Value-change bounds per exit: tol-converged lanes
+        # O(tol x point scale); stall-exit lanes bounded by the arming
+        # threshold (the last update < STALL_ABS_FACTOR * tol ~ 1 cm of
+        # pose motion — a few percent of the gate at worst on a lane
+        # oscillating exactly at it); hopeless-exit lanes sit far above
+        # the gate by construction. Measured on the bench workload:
+        # zero gate-decision changes (scripts/profile_fitness_reuse_ab).
+        # Under MXU_NN the iteration statistics inherit selection noise,
+        # so the exact recomputation below stays mandatory.
         n_good = last_ng
         fitness = jnp.where((n_good > 0) & active, last_ms, jnp.inf)
     else:
@@ -1074,8 +1076,13 @@ def ransac_align_batched(
         hyp_ok = jnp.ones(samples.shape[:2], bool)
 
     # score hypotheses in chunks: counts only (the winner's inlier set is
-    # recomputed below), so the [B, Hc, N] transient stays bounded
-    Hc = hyp_chunk if H % hyp_chunk == 0 else H
+    # recomputed below), so the [B, Hc, N] transient stays bounded. When
+    # hyp_chunk doesn't divide H, fall back to H's largest divisor <=
+    # hyp_chunk — the bound must hold for ANY num_hypotheses (e.g. a
+    # reference-style ransac_max_iter=1000), not just powers of two
+    Hc = hyp_chunk if H % hyp_chunk == 0 else max(
+        d for d in range(1, min(hyp_chunk, H) + 1) if H % d == 0
+    )
     thr2 = inlier_thresh * inlier_thresh
     sx, sy, sz = (source.xyz[..., i] for i in range(3))        # [B, N] each
 
@@ -1122,7 +1129,11 @@ def ransac_align_batched(
         res2 = jnp.sum((moved - matched) ** 2, axis=-1)
         return (res2 < thr2) & good
 
-    best_inl = inliers_of(best_pose)
+    # a lane with NO valid hypothesis contributes no best-hypothesis
+    # inliers (solo-path parity): the refine below then falls back to a
+    # uniform-weight least-squares fit over the NN matches, whose result
+    # stands or falls on the ratio gate alone
+    best_inl = inliers_of(best_pose) & any_valid[:, None]
 
     if refine:
         w = best_inl.astype(dtype)

@@ -53,16 +53,39 @@ def save(mapper: Mapper, path: str) -> None:
             for r, lst in mapper._evicted.items()
         },
     }
-    # FleetMapper adds host-side serving state: per-robot keyframe gates
-    # and the verification RNG key. Without these a restored fleet session
-    # would re-accept one gate-skipped frame per robot and replay a used
-    # RNG stream.
+    # FleetMapper adds host-side serving state: per-robot keyframe gates,
+    # the verification RNG key, AND any keyframes staged (accepted by the
+    # gate) but not yet processed by step(). Without the staged frames a
+    # checkpoint taken between add_robot_frame() and step() would lose
+    # them permanently: the restored gate (already advanced past them)
+    # rejects a re-feed of the same frames.
     if hasattr(mapper, "_fleet_last_pose"):
         meta["fleet_last_pose"] = {
             str(r): np.asarray(se3.to_matrix(p)).tolist()
             for r, p in mapper._fleet_last_pose.items()
         }
         meta["fleet_key"] = np.asarray(mapper._fleet_key).tolist()
+        staged = mapper._fleet_staged
+        meta["fleet_staged_n"] = len(staged)
+        if staged:
+            arrays["staged_robot"] = np.asarray(
+                [s[0] for s in staged], np.int32
+            )
+            arrays["staged_R"] = np.stack(
+                [np.asarray(s[1].R) for s in staged]
+            )
+            arrays["staged_t"] = np.stack(
+                [np.asarray(s[1].t) for s in staged]
+            )
+            arrays["staged_xyz"] = np.stack(
+                [np.asarray(s[2].xyz) for s in staged]
+            )
+            arrays["staged_mask"] = np.stack(
+                [np.asarray(s[2].mask) for s in staged]
+            )
+            arrays["staged_stamp"] = np.asarray(
+                [s[3] for s in staged], np.float64
+            )
     tmp = path + ".tmp"
     np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
     # np.savez appends .npz to names lacking it
@@ -112,4 +135,28 @@ def load(mapper: Mapper, path: str) -> Mapper:
             for r, T in meta["fleet_last_pose"].items()
         }
         mapper._fleet_key = jnp.asarray(meta["fleet_key"], jnp.uint32)
+        n_staged = int(meta.get("fleet_staged_n", 0))
+        mapper._fleet_staged = []
+        mapper._staged_per_robot = {}
+        if n_staged:
+            with np.load(path, allow_pickle=False) as data:
+                robots = data["staged_robot"]
+                Rm, tm = data["staged_R"], data["staged_t"]
+                xyzs, masks = data["staged_xyz"], data["staged_mask"]
+                stamps = data["staged_stamp"]
+            from ..ops import pointcloud as pc
+
+            for k in range(n_staged):
+                r = int(robots[k])
+                mapper._fleet_staged.append(
+                    (
+                        r,
+                        se3.Pose(jnp.asarray(Rm[k]), jnp.asarray(tm[k])),
+                        pc.Cloud(jnp.asarray(xyzs[k]), jnp.asarray(masks[k])),
+                        float(stamps[k]),
+                    )
+                )
+                mapper._staged_per_robot[r] = (
+                    mapper._staged_per_robot.get(r, 0) + 1
+                )
     return mapper

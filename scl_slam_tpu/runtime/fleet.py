@@ -389,6 +389,24 @@ class FleetMapper(Mapper):
         self._staged_per_robot[robot] = self._staged_per_robot.get(robot, 0) + 1
         return True
 
+    def _ensure_robot_capacity(self, robot: int, n_new: int) -> None:
+        """Evict (compact) until ``n_new`` more keyframes fit ``robot``'s
+        block — Mapper._ensure_capacity's guards, per robot: an impossible
+        request and a no-progress compaction raise instead of spinning."""
+        K = self.cfg.keyframe.max_keyframes
+        if n_new > K:
+            raise ValueError(
+                f"batch stages {n_new} keyframes for robot {robot}, "
+                f"exceeding capacity {K}"
+            )
+        while int(self.state.counts[robot]) + n_new > K:
+            before = int(self.state.counts[robot])
+            self._compact(robot)
+            if int(self.state.counts[robot]) >= before:
+                raise RuntimeError(
+                    "eviction could not free capacity for the fleet batch"
+                )
+
     # -- processing --
     def step(self) -> list[dict]:
         """Process every staged keyframe in one device program.
@@ -401,11 +419,7 @@ class FleetMapper(Mapper):
         # per-robot capacity: compact (loop-anchor-preserving eviction)
         # before the batch lands, exactly like Mapper.add_frame
         for r, n_staged in self._staged_per_robot.items():
-            while (
-                int(self.state.counts[r]) + n_staged
-                > self.cfg.keyframe.max_keyframes
-            ):
-                self._compact(r)
+            self._ensure_robot_capacity(r, n_staged)
         staged, self._fleet_staged = self._fleet_staged, []
         self._staged_per_robot = {}
         robots = jnp.asarray([s[0] for s in staged], jnp.int32)
@@ -488,11 +502,7 @@ class FleetMapper(Mapper):
             for r, *_ in part:
                 per_robot[r] = per_robot.get(r, 0) + 1
             for r, n_new in per_robot.items():
-                while (
-                    int(self.state.counts[r]) + n_new
-                    > self.cfg.keyframe.max_keyframes
-                ):
-                    self._compact(r)
+                self._ensure_robot_capacity(r, n_new)
             self._ensure_queue_headroom(chunk)
 
             xyz_np = np.full((chunk, cap, 3), pc.PAD_VALUE, np.float32)

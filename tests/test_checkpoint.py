@@ -120,3 +120,34 @@ class TestCheckpoint:
             0, se3.Pose(jnp.eye(3), jnp.array([9.0, 0.0, 0.0])), xyz
         )
         assert len(fm2.step()) == 1
+
+    def test_fleet_staged_frames_survive_checkpoint(self, tmp_path):
+        """A checkpoint between add_robot_frame() and step() must carry the
+        staged (gate-accepted, unprocessed) keyframes — the advanced gate
+        would otherwise reject a re-feed and drop them permanently."""
+        import dataclasses
+
+        from scl_slam_tpu.runtime import FleetMapper
+
+        cfg = dataclasses.replace(tiny_cfg(), number_of_robots=2)
+        fm = FleetMapper(cfg)
+        rng = np.random.RandomState(2)
+        xyz = rng.uniform(-20, 20, (400, 3)).astype(np.float32)
+        assert fm.add_robot_frame(
+            0, se3.Pose(jnp.eye(3), jnp.zeros(3)), xyz, stamp=0.5
+        )
+        assert fm.add_robot_frame(
+            1, se3.Pose(jnp.eye(3), jnp.array([0.0, 3.0, 0.0])), xyz,
+            stamp=0.6,
+        )
+        path = str(tmp_path / "fleet_staged.npz")
+        checkpoint.save(fm, path)
+
+        fm2 = checkpoint.load(FleetMapper(cfg), path)
+        assert len(fm2._fleet_staged) == 2
+        events = fm2.step()
+        assert len(events) == 2
+        assert int(fm2.state.counts[0]) == 1 and int(fm2.state.counts[1]) == 1
+        np.testing.assert_allclose(
+            float(fm2.state.stamps[0]), 0.5, atol=1e-6
+        )
