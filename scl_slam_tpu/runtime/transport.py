@@ -122,6 +122,16 @@ class TcpBus:
         self._server.listen(16)
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._running = True
+        # ONE persistent connection per peer for descriptor broadcast: the
+        # receiver handles each connection on a single thread, so a stream
+        # keeps messages IN ORDER — per-message connections each got their
+        # own handler thread and could be ingested out of order, which the
+        # in-order protocol check (globalDescriptorHandler semantics,
+        # mapper._ingest_peer) answers by dropping every later descriptor
+        # of that peer. A send failure resets the connection; the dropped
+        # message follows queue-50 droppability semantics.
+        self._desc_conns: dict[int, socket.socket] = {}
+        self._desc_lock = threading.Lock()
 
     def register(self, robot: int, on_descriptor, on_verify):
         assert robot == self.robot
@@ -150,14 +160,25 @@ class TcpBus:
             conn.close()
 
     def broadcast_descriptor(self, from_robot: int, msg: DescriptorMsg):
-        for robot, (host, port) in self.peers.items():
-            if robot == self.robot:
-                continue
-            try:
-                with socket.create_connection((host, port), timeout=5) as s:
+        with self._desc_lock:
+            for robot, (host, port) in self.peers.items():
+                if robot == self.robot:
+                    continue
+                try:
+                    s = self._desc_conns.get(robot)
+                    if s is None:
+                        s = socket.create_connection((host, port), timeout=5)
+                        self._desc_conns[robot] = s
                     _send_frame(s, ("desc", msg))
-            except OSError:
-                pass  # peer down: descriptors are droppable (queue-50 semantics)
+                except OSError:
+                    # peer down: drop (queue-50 semantics) and reset the
+                    # stream so the next broadcast redials
+                    dead = self._desc_conns.pop(robot, None)
+                    if dead is not None:
+                        try:
+                            dead.close()
+                        except OSError:
+                            pass
 
     def verify(self, target_robot: int, req: VerifyRequest) -> VerifyResponse:
         host, port = self.peers[target_robot]
@@ -169,3 +190,10 @@ class TcpBus:
     def close(self):
         self._running = False
         self._server.close()
+        with self._desc_lock:
+            for s in self._desc_conns.values():
+                try:
+                    s.close()
+                except OSError:
+                    pass
+            self._desc_conns.clear()

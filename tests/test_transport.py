@@ -1,4 +1,6 @@
 """Transport-layer tests: LocalBus semantics + real-socket TcpBus."""
+import json
+import os
 import threading
 import time
 
@@ -76,3 +78,62 @@ class TestTcpBus:
         finally:
             bus0.close()
             bus1.close()
+
+
+class TestTcpBusCrossProcess:
+    """True process-per-robot deployment over real sockets — the
+    reference's N-node TCPROS shape. Also pins descriptor ORDERING: the
+    persistent per-peer stream must deliver the whole broadcast sequence
+    in order (per-message connections used to race their handler threads,
+    and one inversion makes _ingest_peer drop every later descriptor)."""
+
+    def test_two_process_collaboration(self, tmp_path):
+        import socket
+        import subprocess
+        import sys as _sys
+
+        # pick two free ports
+        socks = [socket.socket() for _ in range(2)]
+        for s in socks:
+            s.bind(("127.0.0.1", 0))
+        ports = [s.getsockname()[1] for s in socks]
+        for s in socks:
+            s.close()
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        procs = []
+        for rid in range(2):
+            procs.append(
+                subprocess.Popen(
+                    [
+                        _sys.executable,
+                        os.path.join(here, "tcpbus_worker.py"),
+                        str(rid), str(ports[rid]), str(ports[1 - rid]),
+                        str(tmp_path),
+                    ],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out)
+                assert p.returncode == 0, out[-2000:]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+
+        res = {}
+        for rid in range(2):
+            with open(tmp_path / f"out_{rid}") as f:
+                res[rid] = json.load(f)
+        # robot 1 ingested robot 0's ENTIRE broadcast stream in order
+        assert res[1]["counts"][0] == res[0]["counts"][0], res
+        assert res[0]["counts"][0] > 10
+        # the socket-RPC verification produced inter-robot loops
+        assert res[1]["inter_loops"] >= 1, res
+        assert res[0]["traj_finite"] and res[1]["traj_finite"]
