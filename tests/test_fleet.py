@@ -195,6 +195,35 @@ class TestFleet:
         fm.optimize()
         assert np.isfinite(fm.trajectory(robot=1)).all()
 
+    def test_non_sc_family_through_batched_step(self):
+        """The batched fleet phases (vmapped retrieval, lane ICP/RANSAC)
+        are family-agnostic by contract — pin one non-ScanContext family
+        end-to-end (all six were driven in the round-3 sweep; m2dp is the
+        cheapest with a working detect path)."""
+        cfg = dataclasses.replace(fleet_cfg(), descriptor_type="m2dp")
+        world = kitti.SyntheticWorld(seed=9, extent=100.0, n_clusters=70,
+                                     pts_per_cluster=800)
+        gt = kitti.loop_trajectory(n_frames=24, radius=30.0, revisit=False)
+        split = [list(range(0, 14)), list(range(10, 24))]
+        fm = FleetMapper(cfg)
+        events = []
+        for step in range(max(len(s) for s in split)):
+            for rid, frames in enumerate(split):
+                if step >= len(frames):
+                    continue
+                k = frames[step]
+                fm.add_robot_frame(
+                    rid, as_pose(gt[k]),
+                    world.scan_at(gt[k], max_points=4096, seed=k),
+                    stamp=0.1 * k,
+                )
+            events.extend(fm.step())
+        fm.optimize()
+        for r in (0, 1):
+            assert np.isfinite(fm.trajectory(robot=r)).all()
+        assert int(fm.state.counts[0]) == len(split[0])
+        assert int(fm.state.counts[1]) == len(split[1])
+
     def test_eviction_keeps_fleet_running(self):
         """At tiny capacity the per-robot compaction must fire and protocol
         indices stay monotone (fixed-lag archive intact)."""
