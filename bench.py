@@ -1,13 +1,15 @@
 """Benchmarks: the three BASELINE.md north-star metrics on one TPU chip.
 
 Prints ONE JSON line PER METRIC
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-in this order (headline last, so single-line consumers keep getting it):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "platform": ...}
+in CHEAPEST-COMPILE-FIRST order, each line flushed the moment its metric
+completes (a killed run keeps everything already printed):
 
 1. ``retrieval_queries_per_s`` — two-stage loop-closure retrieval
    (ring-key top-k + all-shift cosine verification) in 256-query batches
-   over a full 4096-keyframe DB. Baseline: the reference queries once per
-   keyframe at sensor rate = 10 queries/s.
+   over a full 4096-keyframe DB. Compiles in seconds even cold; this is
+   the guaranteed-to-land metric. Baseline: the reference queries once
+   per keyframe at sensor rate = 10 queries/s.
 2. ``fleet_frames_per_s`` — multi-robot serving via FleetMapper: mixed
    2-robot keyframe batches through the fused ingest+detect+inter-verify
    step. Baseline: 2 robots x sensor rate = 20 frames/s.
@@ -15,8 +17,34 @@ in this order (headline last, so single-line consumers keep getting it):
    work (descriptor build + DB insert + retrieval + shifted-distance
    verification + submap ICP + queue bookkeeping) on synthetic KITTI-scale
    inputs as scanned 6x32-keyframe chunks (Mapper.replay — the rosbag
-   replay analog). Baseline: sensor-rate real time on the reference's
-   4-core onboard CPU = 10 frames/s.
+   replay analog). Printed LAST so single-line consumers keep getting it.
+   Baseline: sensor-rate real time on the reference's 4-core onboard
+   CPU = 10 frames/s.
+
+Capture robustness (round-3 postmortem: BENCH_r03 was rc=1 on a transient
+axon-backend failure, and two cold judge runs timed out with ZERO output):
+
+- A watchdog thread enforces a self-imposed deadline (default 545 s,
+  env ``SCL_SLAM_BENCH_BUDGET_S``) and hard-exits 0 — partial metrics
+  beat a timeout kill's rc=124 with the output discarded mid-pipe.
+- Transient ``Unable to initialize backend 'axon'`` re-execs the process
+  (fresh backend state — in-process retries can hit memoized failures)
+  with backoff, up to 4 times within the budget, then falls back to CPU
+  with an honest ``"platform": "cpu"`` field on every metric.
+- ``jax.devices()`` and the first op can also HANG outright (observed:
+  545 s with zero output while the axon tunnel never came up). A second
+  watchdog handles that: if NO metric has printed by ``deadline -
+  SCL_SLAM_BENCH_CPU_RESERVE_S`` (default 170 s), the process re-execs
+  itself with CPU forced and shrunken workloads — ``os.execv`` replaces
+  the image even while another thread is stuck inside the backend call.
+  CPU-mode sizes are chosen so retrieval lands in seconds; every record
+  then carries ``"platform": "cpu"`` + ``"note": "cpu fallback,
+  reduced sizes"`` so nobody mistakes them for chip numbers.
+- Each metric runs in its own try/except: one failure doesn't kill the
+  rest. Device buffers are freed between metrics (shared-chip HBM).
+- The process ends with ``os._exit(0)``: finalizing thousands of device
+  arrays through normal teardown takes minutes on this rig and has eaten
+  the driver's timeout budget after all metrics already printed.
 
 Timing discipline (CLAUDE.md): every timed region ends with a host copy of
 a small output — ``block_until_ready`` alone has been observed to return
@@ -25,17 +53,131 @@ amortize the ~1-3 ms per-dispatch floor.
 """
 from __future__ import annotations
 
+import gc
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
 
+_T0 = time.time()
+_METRICS_PRINTED = [0]  # list: mutated from main, read from watchdog threads
 
-def bench_retrieval(jax, jnp):
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _deadline() -> float:
+    """Absolute deadline, preserved across re-execs via env."""
+    if "SCL_SLAM_BENCH_DEADLINE" in os.environ:
+        return float(os.environ["SCL_SLAM_BENCH_DEADLINE"])
+    budget = float(os.environ.get("SCL_SLAM_BENCH_BUDGET_S", "545"))
+    dl = _T0 + budget
+    os.environ["SCL_SLAM_BENCH_DEADLINE"] = repr(dl)
+    return dl
+
+
+def _start_watchdog(deadline: float) -> None:
+    def run():
+        while True:
+            rem = deadline - time.time()
+            if rem <= 0:
+                break
+            time.sleep(min(rem, 5.0))
+        _log("deadline reached — exiting 0 with whatever already printed")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+def _start_cpu_fallback_watchdog(deadline: float) -> None:
+    """If NO metric lands by deadline-reserve, re-exec with CPU forced.
+
+    This is the hang path: ``jax.devices()`` / the first axon op can block
+    forever in C, unkillable from Python — but ``os.execv`` from another
+    thread still replaces the whole process image. The re-exec'd process
+    sees SCL_SLAM_BENCH_FORCE_CPU=1 and runs shrunken workloads sized for
+    the remaining budget.
+    """
+    if os.environ.get("SCL_SLAM_BENCH_FORCE_CPU"):
+        return  # already the fallback — the deadline watchdog rules here
+    reserve = float(os.environ.get("SCL_SLAM_BENCH_CPU_RESERVE_S", "170"))
+    t_fb = deadline - reserve
+
+    def run():
+        while time.time() < t_fb:
+            if _METRICS_PRINTED[0]:
+                return  # TPU path is producing — never abandon it
+            time.sleep(2.0)
+        if _METRICS_PRINTED[0]:
+            return
+        _log(f"no metric by fallback point (reserve {reserve:.0f}s) — "
+             "re-exec with CPU forced")
+        os.environ["SCL_SLAM_BENCH_FORCE_CPU"] = "1"
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+def _init_backend(deadline: float):
+    """Return (jax, jnp) with a live backend; retry transient axon failures.
+
+    Retries re-exec the interpreter: the axon registration shim and jax's
+    backend lookup can memoize a failed init, so an in-process retry may
+    see the stale failure forever. Re-exec costs ~10 s of imports but
+    guarantees fresh state. After 4 attempts (or with <90 s left) falls
+    back to CPU so SOMETHING honest is emitted.
+    """
+    attempt = int(os.environ.get("SCL_SLAM_BENCH_ATTEMPT", "0"))
+    import jax
+
+    if os.environ.get("SCL_SLAM_BENCH_FORCE_CPU"):
+        # must happen before any backend touch; env JAX_PLATFORMS is too
+        # late (the axon shim bakes it into jax.config at interp start)
+        jax.config.update("jax_platforms", "cpu")
+        _log("CPU forced (fallback mode, reduced workload sizes)")
+
+    try:
+        devs = jax.devices()
+        _log(f"backend up: {devs} (attempt {attempt})")
+    except RuntimeError as e:
+        _log(f"backend init failed (attempt {attempt}): {e}")
+        remaining = deadline - time.time()
+        if attempt < 4 and remaining > 90:
+            delay = min(10.0 * (attempt + 1), max(remaining - 75.0, 5.0))
+            _log(f"re-exec retry in {delay:.0f}s ({remaining:.0f}s left)")
+            time.sleep(delay)
+            os.environ["SCL_SLAM_BENCH_ATTEMPT"] = str(attempt + 1)
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+        _log("falling back to CPU (metrics will carry platform=cpu)")
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+    import jax.numpy as jnp
+
+    # absorb tunnel warmup (first transfer of a process can take minutes)
+    # outside every timed region
+    t0 = time.time()
+    x = jnp.ones((8, 128), jnp.float32)
+    _ = np.asarray(x @ x.T)[0, 0]
+    _log(f"warmup op done in {time.time() - t0:.1f}s on {jax.default_backend()}")
+    return jax, jnp
+
+
+def bench_retrieval(jax, jnp, small=False):
     from scl_slam_tpu.descriptors import scan_context as sc
 
     CFG = sc.ScanContextConfig()
-    K = 4096
+    K = 512 if small else 4096
     R, S = CFG.num_rings, CFG.num_sectors
     rng = np.random.RandomState(0)
     imgs = rng.rand(K, R, S).astype(np.float32) * 8.0
@@ -48,7 +190,7 @@ def bench_retrieval(jax, jnp):
         index=jnp.arange(K, dtype=jnp.int32),
         count=jnp.array(K, jnp.int32),
     )
-    B = 256
+    B = 32 if small else 256
     sel = rng.randint(0, K - CFG.exclude_recent - 1, B)
     q_imgs = jnp.asarray(imgs[sel])
     q_keys = jnp.asarray(keys[sel])
@@ -66,7 +208,7 @@ def bench_retrieval(jax, jnp):
     correct = int(np.sum(np.asarray(m.index) == sel))
     assert correct == B, f"retrieval correctness {correct}/{B}"
 
-    CHAIN = 50
+    CHAIN = 10 if small else 50
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
@@ -86,33 +228,39 @@ def bench_retrieval(jax, jnp):
     }
 
 
-def bench_fleet(jax, jnp):
+def bench_fleet(jax, jnp, small=False):
     from scl_slam_tpu.config import (
         KeyframeConfig,
         LoopConfig,
         OptimizerConfig,
         SlamConfig,
     )
-    from scl_slam_tpu.geometry import se3
     from scl_slam_tpu.runtime.fleet import _fleet_step
     from scl_slam_tpu.runtime.state import make_state
 
+    n_pts = 8192 if small else 65536
     cfg = SlamConfig(
         number_of_robots=2,
         keyframe=KeyframeConfig(
-            max_keyframes=2048,
-            points_per_keyframe=4096,
-            raw_points_capacity=65536,
+            max_keyframes=256 if small else 2048,
+            points_per_keyframe=1024 if small else 4096,
+            raw_points_capacity=n_pts,
         ),
         loop=LoopConfig(
-            near_keyframes=25, submap_capacity=8192, icp_iterations=20
+            near_keyframes=25,
+            submap_capacity=2048 if small else 8192,
+            icp_iterations=5 if small else 20,
         ),
-        optimizer=OptimizerConfig(edge_capacity=2048, gn_iters=4, cg_iters=32),
+        optimizer=OptimizerConfig(
+            edge_capacity=256 if small else 2048,
+            gn_iters=2 if small else 4,
+            cg_iters=16 if small else 32,
+        ),
     )
     rng = np.random.RandomState(1)
 
     def scan(k):
-        n = 65536
+        n = n_pts
         theta = rng.uniform(-np.pi, np.pi, n)
         r = rng.uniform(2, 75, n)
         z = np.sin(theta * 3 + k * 0.1) * 2 + rng.normal(0, 0.4, n) - 1.0
@@ -125,7 +273,7 @@ def bench_fleet(jax, jnp):
     # the serving step is the system under test). One staged scan batch is
     # reused across steps with shifted poses — the DB keeps growing, so
     # each step still does fresh retrieval work.
-    B, n_steps = 16, 4
+    B, n_steps = (8, 2) if small else (16, 4)
     total = B * n_steps
     eye = jnp.eye(3)
     robots = jnp.asarray([k % 2 for k in range(B)], jnp.int32)
@@ -142,7 +290,7 @@ def bench_fleet(jax, jnp):
         )
         for s in range(n_steps)
     ]
-    masks = jnp.ones((B, 65536), bool)
+    masks = jnp.ones((B, n_pts), bool)
     pose_R = jnp.broadcast_to(eye, (B, 3, 3))
     stamps = jnp.zeros((B,), jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -175,7 +323,7 @@ def bench_fleet(jax, jnp):
     }
 
 
-def bench_pipeline(jax, jnp):
+def bench_pipeline(jax, jnp, small=False):
     from scl_slam_tpu.config import (
         KeyframeConfig,
         LoopConfig,
@@ -187,21 +335,30 @@ def bench_pipeline(jax, jnp):
     from scl_slam_tpu.runtime.mapper import _replay_batches
     from scl_slam_tpu.runtime.state import make_state
 
+    n_pts = 8192 if small else 65536
     cfg = SlamConfig(
         keyframe=KeyframeConfig(
-            max_keyframes=4096,  # KITTI-00-scale DB capacity
-            points_per_keyframe=4096,
-            raw_points_capacity=65536,
+            max_keyframes=256 if small else 4096,  # KITTI-00-scale DB capacity
+            points_per_keyframe=1024 if small else 4096,
+            raw_points_capacity=n_pts,
         ),
-        loop=LoopConfig(near_keyframes=25, submap_capacity=8192, icp_iterations=20),
-        optimizer=OptimizerConfig(edge_capacity=2048, gn_iters=6, cg_iters=48),
+        loop=LoopConfig(
+            near_keyframes=25,
+            submap_capacity=2048 if small else 8192,
+            icp_iterations=5 if small else 20,
+        ),
+        optimizer=OptimizerConfig(
+            edge_capacity=256 if small else 2048,
+            gn_iters=2 if small else 6,
+            cg_iters=16 if small else 48,
+        ),
         scan_context=ScanContextParams(),
     )
     state = make_state(cfg)
     rng = np.random.RandomState(0)
 
     def scan(k):
-        n = 65536
+        n = n_pts
         theta = rng.uniform(-np.pi, np.pi, n)
         r = rng.uniform(2, 75, n)
         z = np.sin(theta * 3 + k * 0.1) * 2 + rng.normal(0, 0.4, n) - 1.0
@@ -212,11 +369,11 @@ def bench_pipeline(jax, jnp):
     # B=32 macro-batches, R=6 scanned inside ONE device program per
     # dispatch (B=32 = measured lane sweet spot; the scan amortizes the
     # ~1-3 ms dispatch floor over 192 frames)
-    B, R = 32, 6
+    B, R = (8, 2) if small else (32, 6)
     xs = jnp.asarray(
-        np.stack([scan(k) for k in range(R * B)]).reshape(R, B, 65536, 3)
+        np.stack([scan(k) for k in range(R * B)]).reshape(R, B, n_pts, 3)
     )
-    masks = jnp.ones((R, B, 65536), bool)
+    masks = jnp.ones((R, B, n_pts), bool)
     pose_R = jnp.broadcast_to(jnp.eye(3), (R, B, 3, 3))
     pose_t = jnp.asarray(
         np.stack(
@@ -235,7 +392,7 @@ def bench_pipeline(jax, jnp):
     jax.block_until_ready(out)
     _ = np.asarray(out[3])
 
-    n_rep = 3
+    n_rep = 1 if small else 3
     states = [make_state(cfg) for _ in range(n_rep)]
     jax.block_until_ready(states)
     t0 = time.perf_counter()
@@ -252,16 +409,39 @@ def bench_pipeline(jax, jnp):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    deadline = _deadline()
+    _start_watchdog(deadline)
+    _start_cpu_fallback_watchdog(deadline)
+    jax, jnp = _init_backend(deadline)
+    platform = jax.default_backend()   # "axon" = the tunneled TPU chip
+    small = platform == "cpu"
 
-    # headline measured FIRST (fresh HBM; the other benches' residents can
-    # skew it on the shared chip), printed LAST (single-line consumers take
-    # the last line, which must stay the round-1-comparable metric)
-    headline = bench_pipeline(jax, jnp)
-    print(json.dumps(bench_retrieval(jax, jnp)), flush=True)
-    print(json.dumps(bench_fleet(jax, jnp)), flush=True)
-    print(json.dumps(headline), flush=True)
+    # cheapest compile surface first: retrieval lands in seconds even from
+    # a cold cache; the heavy scanned-replay headline goes last (and is
+    # also PRINTED last: single-line consumers take the final line)
+    for name, fn in (
+        ("retrieval", bench_retrieval),
+        ("fleet", bench_fleet),
+        ("pipeline", bench_pipeline),
+    ):
+        try:
+            _log(f"{name}: start ({deadline - time.time():.0f}s left)")
+            rec = fn(jax, jnp, small=small)
+            rec["platform"] = platform
+            if small:
+                rec["note"] = "cpu fallback, reduced sizes"
+            print(json.dumps(rec), flush=True)
+            _METRICS_PRINTED[0] += 1
+            _log(f"{name}: done")
+        except Exception as e:  # one metric failing must not kill the rest
+            _log(f"{name}: FAILED: {type(e).__name__}: {e}")
+        # free this metric's device residents before the next one runs on
+        # the shared chip
+        gc.collect()
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)  # skip minutes of device-array finalization
 
 
 if __name__ == "__main__":

@@ -987,7 +987,12 @@ def ransac_align(
         moved_r = se3.transform_points(refined, source.xyz)
         res2_r = jnp.sum((moved_r - matched) ** 2, axis=-1)
         inl_r = (res2_r < inlier_thresh * inlier_thresh) & corr_valid
-        use_refined = jnp.sum(inl_r) >= jnp.sum(best_inl)
+        # no valid hypothesis -> skip the refine adoption: with an empty
+        # best_inl the uniform-1e-12-weight kabsch is an arbitrary
+        # least-squares fit over ALL matches (including collapsed ones)
+        # and >=0 would always adopt it; keep the identity pose + empty
+        # inlier set so the lane reports ratio 0 / accepted False
+        use_refined = any_valid & (jnp.sum(inl_r) >= jnp.sum(best_inl))
         best_pose = se3.Pose(
             jnp.where(use_refined, refined.R, best_pose.R),
             jnp.where(use_refined, refined.t, best_pose.t),
@@ -1130,16 +1135,18 @@ def ransac_align_batched(
         return (res2 < thr2) & good
 
     # a lane with NO valid hypothesis contributes no best-hypothesis
-    # inliers (solo-path parity): the refine below then falls back to a
-    # uniform-weight least-squares fit over the NN matches, whose result
-    # stands or falls on the ratio gate alone
+    # inliers (solo-path parity) and is excluded from refine adoption
+    # below: it keeps the identity pose and an empty inlier set
     best_inl = inliers_of(best_pose) & any_valid[:, None]
 
     if refine:
         w = best_inl.astype(dtype)
         refined = kabsch(source.xyz, matched, jnp.maximum(w, 1e-12))
         inl_r = inliers_of(refined)
-        use_r = jnp.sum(inl_r, -1) >= jnp.sum(best_inl, -1)
+        # gate with any_valid: on a failed lane the uniform-1e-12-weight
+        # kabsch fits ALL matches (collapsed ones included) and >=0 would
+        # always adopt that arbitrary pose (advisor r3)
+        use_r = any_valid & (jnp.sum(inl_r, -1) >= jnp.sum(best_inl, -1))
         best_pose = se3.Pose(
             jnp.where(use_r[:, None, None], refined.R, best_pose.R),
             jnp.where(use_r[:, None], refined.t, best_pose.t),

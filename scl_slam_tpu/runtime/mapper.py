@@ -1699,9 +1699,22 @@ class Mapper:
             # counted above — hand the pre-gated remainder to add_frames
             # without re-counting
             self._frames_seen -= len(rem)
+            rem_scans = [scans[i] for i in rem]
+            if transfer == "int16":
+                # keep the tail on the same wire format as the chunks: a
+                # quantize-dequantize round trip on the host so these
+                # frames' descriptors/fitness match the values they would
+                # get inside a chunk (advisor r3)
+                rem_scans = [
+                    np.clip(
+                        np.round(np.asarray(s, np.float32) / Q16_SCALE),
+                        -32767, 32767,
+                    ).astype(np.float32) * Q16_SCALE
+                    for s in rem_scans
+                ]
             out = self.add_frames(
                 [poses[i] for i in rem],
-                [scans[i] for i in rem],
+                rem_scans,
                 [stamps[i] for i in rem],
                 apply_gate=False,
             )

@@ -22,10 +22,12 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 import shutil
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -37,19 +39,30 @@ def clean_cache():
     shutil.rmtree(CACHE, ignore_errors=True)
 
 
-# stdout markers of an xdist worker dying (the cache-deserializer SEGFAULT
-# kills a worker, not the master, so the master exits 1 like a plain failure)
-CRASH_MARKERS = ("crashed", "Segmentation fault", "SIGSEGV", "SIGABRT",
-                 "SIGBUS", "INTERNALERROR")
+# line-anchored markers of an xdist worker dying or the interpreter
+# aborting (the cache-deserializer SEGFAULT kills a worker, not the master,
+# so the master exits 1 like a plain failure). Deliberately SPECIFIC: a
+# genuine test failure whose assertion message merely contains "crashed"
+# must NOT trigger the ~30-min clean-cache recompile retry (advisor r3).
+CRASH_RE = re.compile(
+    r"^\[gw\d+\] node down"            # xdist: worker lost
+    r"|^INTERNALERROR>"                # pytest internal crash report
+    r"|replacing crashed worker"       # xdist restart notice
+    r"|worker ['\"]?gw\d+['\"]? crashed"
+    r"|^Fatal Python error:"           # faulthandler on SIGSEGV/SIGABRT
+    r"|^Segmentation fault",
+)
 
 
 def run_chunk(files: list[str], timeout: int) -> tuple[bool, str]:
     """Run one pytest chunk in its own process group.
 
-    Returns (ok, why); ``why`` starts with "crash"/"timeout" for the
-    recoverable modes that warrant a clean-compile-cache retry (CLAUDE.md:
-    cache corruption presents as a SEGFAULT in the jax cache deserializer —
-    a signal exit or a crashed xdist worker — not only as a hang).
+    Output is teed live (the chunks run for minutes; a silent pipe looks
+    like a hang). Returns (ok, why); ``why`` starts with "crash"/"timeout"
+    for the recoverable modes that warrant a clean-compile-cache retry
+    (CLAUDE.md: cache corruption presents as a SEGFAULT in the jax cache
+    deserializer — a signal exit or a crashed xdist worker — not only as
+    a hang).
     """
     proc = subprocess.Popen(
         [sys.executable, "-m", "pytest", "-q", *files],
@@ -60,24 +73,31 @@ def run_chunk(files: list[str], timeout: int) -> tuple[bool, str]:
         text=True,
         errors="replace",
     )
+    crashed = []
+
+    def tee():
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            if not crashed and CRASH_RE.search(line):
+                crashed.append(line.rstrip())
+
+    reader = threading.Thread(target=tee, daemon=True)
+    reader.start()
     try:
-        out, _ = proc.communicate(timeout=timeout)
-        sys.stdout.write(out)
-        sys.stdout.flush()
-        rc = proc.returncode
+        rc = proc.wait(timeout=timeout)
+        reader.join(timeout=30)
         if rc == 0:
             return True, "exit 0"
         if rc < 0:
             return False, f"crash (signal {-rc})"
-        if any(m in out for m in CRASH_MARKERS):
-            return False, f"crash (worker died, exit {rc})"
+        if crashed:
+            return False, f"crash (worker died, exit {rc}: {crashed[0][:80]})"
         return False, f"exit {rc}"
     except subprocess.TimeoutExpired:
         os.killpg(proc.pid, signal.SIGKILL)
-        out, _ = proc.communicate()
-        if out:
-            sys.stdout.write(out)
-            sys.stdout.flush()
+        proc.wait()
+        reader.join(timeout=30)
         return False, "timeout (killed process group)"
 
 
