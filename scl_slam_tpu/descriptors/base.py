@@ -132,6 +132,37 @@ def db_insert_block(
     )
 
 
+def db_insert_rows(
+    db: DescriptorDB,
+    descriptors: jax.Array,
+    keys: jax.Array,
+    robots: jax.Array,
+    indices: jax.Array,
+    pos: jax.Array,
+) -> DescriptorDB:
+    """Scatter B rows at arbitrary (distinct) slot positions ``pos``.
+
+    The mixed-robot analog of :func:`db_insert_block`: a fleet batch
+    interleaves robots' streams, so its slots are per-robot-consecutive but
+    globally non-contiguous — one batched scatter per DB array replaces B
+    sequential :func:`db_insert` calls. Caller guarantees every ``pos`` is
+    in-range and distinct (runtime/fleet.FleetMapper enforces per-robot
+    capacity before dispatching a batch).
+    """
+    B = indices.shape[0]
+    return DescriptorDB(
+        descriptors=db.descriptors.at[pos].set(
+            descriptors.astype(db.descriptors.dtype)
+        ),
+        keys=db.keys.at[pos].set(keys.astype(db.keys.dtype)),
+        robot=db.robot.at[pos].set(
+            jnp.broadcast_to(jnp.asarray(robots, jnp.int32), (B,))
+        ),
+        index=db.index.at[pos].set(indices.astype(jnp.int32)),
+        count=db.count + B,
+    )
+
+
 class Match(NamedTuple):
     """Result of a loop-closure query.
 

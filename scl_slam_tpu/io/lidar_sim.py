@@ -101,11 +101,21 @@ class UrbanScene:
         self.blocks = blocks
         self.block_size = block_size
 
-    def circuit(self, lane_offset: float = 0.0, step: float = 1.0):
+    def circuit(
+        self,
+        lane_offset: float = 0.0,
+        step: float = 1.0,
+        reverse: bool = False,
+    ):
         """Rectangular street circuit around the first block, as a list of
         4x4 world-from-sensor poses every ``step`` meters, heading tangent.
         ``lane_offset`` shifts the path laterally (signed, toward the
-        block) — the lane-width revisit offset."""
+        block) — the lane-width revisit offset. ``reverse`` traverses the
+        circuit in the OPPOSITE direction (poses visited in reverse order,
+        heading rotated 180 deg) — the opposite-direction-revisit regime
+        that stresses rotation-invariant matching (KITTI 05/08; reference
+        Scan Context shift search ``include/descriptor.h:1491-1569`` and
+        LiDAR-Iris flip modes ``:964-1023``)."""
         s = self.street_w / 2.0
         lo = s + lane_offset
         hi = self.street_w + self.block_size + s - lane_offset
@@ -126,6 +136,14 @@ class UrbanScene:
                 T[:3, :3] = [[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]]
                 T[:3, 3] = [p[0], p[1], SENSOR_HEIGHT]
                 poses.append(T)
+        if reverse:
+            flip = np.diag([-1.0, -1.0, 1.0])  # Rz(pi): heading U-turn
+            rev = []
+            for T in reversed(poses):
+                T2 = T.copy()
+                T2[:3, :3] = T[:3, :3] @ flip
+                rev.append(T2)
+            poses = rev
         return poses
 
 

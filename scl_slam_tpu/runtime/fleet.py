@@ -40,8 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
-from ..descriptors import registry
-from ..geometry import se3
+from ..descriptors import base, registry
+from ..geometry import se3, so3
+from ..graph import factors as F
 from ..ops import pointcloud as pc
 from ..ops import registration as reg
 from .state import LoopQueue
@@ -49,11 +50,165 @@ from .mapper import (
     Mapper,
     _enqueue_intra_block,
     _gather_submap,
-    _ingest_prepared,
     _intra_verify_inputs,
     _prepare_frame,
     encode_kf,
 )
+
+
+def _ingest_prepared_fleet_block(
+    state, robots, poses, smalls, descriptors, stamps, cfg
+):
+    """Mixed-robot vectorized B-frame ingestion: ONE scatter per state array.
+
+    The fleet analog of ``mapper._ingest_prepared_block`` — that one relies
+    on a single robot's frames landing in contiguous slots; a fleet batch
+    interleaves robots, so every block ``dynamic_update_slice`` becomes a
+    batched row scatter (``.at[slots].set``), which XLA lowers to one
+    program per array instead of B sequential scatter steps inside a scan
+    (the scan carried the WHOLE state through B iterations — profiled as
+    the dominant fleet-step cost once intra/inter verification was
+    batched, scripts/profile_fleet_phases.py).
+
+    Slot math: frame b of robot r lands at block position
+    ``counts[r] + rank_b`` where ``rank_b`` counts earlier batch-mates of
+    the same robot, so per-robot slots stay consecutive and the previous
+    same-robot frame (batch-mate or stored) is always at ``slot - 1``.
+    The only inherently sequential piece — chaining optimized-pose
+    estimates per robot with per-step orthonormalization — stays a
+    ``lax.scan`` over B tiny composes with an [n_robots] carry.
+
+    Semantics are identical to B sequential ``_ingest_prepared`` calls
+    (same protocol indices, same between/prior factors in the same row
+    order, same no-op-when-full overflow behavior).
+
+    Returns ``(state, slots [B], indices [B], counts_hist [B])`` where
+    ``counts_hist[b]`` is robot ``robots[b]``'s keyframe count just after
+    frame b's sequential insert (the submap-gather clip the detection
+    phases need).
+    """
+    K = cfg.keyframe.max_keyframes
+    NR = cfg.number_of_robots
+    B = stamps.shape[0]
+    ar = jnp.arange(B, dtype=jnp.int32)
+
+    same = robots[:, None] == robots[None, :]
+    earlier = same & (ar[None, :] < ar[:, None])
+    rank = jnp.sum(earlier.astype(jnp.int32), axis=1)
+    pos = state.counts[robots] + rank
+    slots = robots * K + pos
+    first = pos == 0  # robot's first-ever keyframe
+
+    # protocol keyframe indices: continue each robot's chain from its
+    # pre-batch end (batch-mates extend it by construction: idx = base+rank)
+    pre_end = robots * K + jnp.maximum(state.counts[robots] - 1, 0)
+    idx_base = jnp.where(
+        state.counts[robots] > 0, state.desc_db.index[pre_end] + 1, 0
+    )
+    idxs = idx_base + rank
+
+    # odometry increment: previous same-robot pose is a batch-mate when
+    # rank > 0 (its odometry pose is in `poses`, not yet in state), else
+    # the stored chain end
+    j_prev = jnp.max(jnp.where(earlier, ar[None, :], -1), axis=1)
+    in_batch = j_prev >= 0
+    jp = jnp.maximum(j_prev, 0)
+    prev_slots = jnp.maximum(slots - 1, robots * K)
+    prev_R = jnp.where(
+        in_batch[:, None, None], poses.R[jp], state.odom_R[prev_slots]
+    )
+    prev_t = jnp.where(in_batch[:, None], poses.t[jp], state.odom_t[prev_slots])
+    incs = se3.between(se3.Pose(prev_R, prev_t), poses)
+
+    # optimized-pose chaining: per-robot sequential (tiny [NR] carry)
+    rr = jnp.arange(NR, dtype=jnp.int32)
+    chain_ends = rr * K + jnp.maximum(state.counts[:NR] - 1, 0)
+    cR0, ct0 = state.opt_R[chain_ends], state.opt_t[chain_ends]
+
+    def chain(carry, inp):
+        cR, ct = carry
+        r, iR, it_, pR, pt, f = inp
+        comp = se3.compose(se3.Pose(cR[r], ct[r]), se3.Pose(iR, it_))
+        nR = so3.orthonormalize(jnp.where(f, pR, comp.R))
+        nt = jnp.where(f, pt, comp.t)
+        return (cR.at[r].set(nR), ct.at[r].set(nt)), (nR, nt)
+
+    (_, _), (opt_R, opt_t) = jax.lax.scan(
+        chain, (cR0, ct0), (robots, incs.R, incs.t, poses.R, poses.t, first)
+    )
+
+    # factor graph: between factor slot-1 -> slot for non-first frames
+    # (batch row order preserved), prior for each robot's first frame.
+    # Dropped rows (first frames in the between stream, capacity overflow)
+    # route to a scratch row — the sequential no-op-when-full semantics.
+    g = state.graph
+    odom_si = jnp.asarray(
+        [1.0 / s for s in cfg.optimizer.odometry_sigmas], jnp.float32
+    )
+    prior_si = jnp.asarray(
+        [1.0 / s for s in cfg.optimizer.prior_sigmas], jnp.float32
+    )
+    keep = ~first
+    keep_i = keep.astype(jnp.int32)
+    E = g.edge_capacity
+    e_pos = g.num_edges + jnp.cumsum(keep_i) - keep_i
+    e_ok = keep & (e_pos < E)
+    e_w = jnp.where(e_ok, e_pos, E)
+
+    P = g.prior_capacity
+    f_i = first.astype(jnp.int32)
+    p_pos = g.num_priors + jnp.cumsum(f_i) - f_i
+    p_ok = first & (p_pos < P)
+    p_w = jnp.where(p_ok, p_pos, P)
+
+    def scatter_rows(arr, rows, pos_w, cap):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad])[: cap + 1].at[pos_w].set(
+            rows.astype(arr.dtype)
+        )[:cap]
+
+    g = g._replace(
+        i=scatter_rows(g.i, slots - 1, e_w, E),
+        j=scatter_rows(g.j, slots, e_w, E),
+        z=se3.Pose(
+            scatter_rows(g.z.R, incs.R, e_w, E),
+            scatter_rows(g.z.t, incs.t, e_w, E),
+        ),
+        sqrt_info=scatter_rows(
+            g.sqrt_info, jnp.broadcast_to(odom_si, (B, 6)), e_w, E
+        ),
+        num_edges=g.num_edges + jnp.sum(e_ok.astype(jnp.int32)),
+        prior_idx=scatter_rows(g.prior_idx, slots, p_w, P),
+        prior_z=se3.Pose(
+            scatter_rows(g.prior_z.R, poses.R, p_w, P),
+            scatter_rows(g.prior_z.t, poses.t, p_w, P),
+        ),
+        prior_sqrt_info=scatter_rows(
+            g.prior_sqrt_info, jnp.broadcast_to(prior_si, (B, 6)), p_w, P
+        ),
+        num_priors=g.num_priors + jnp.sum(p_ok.astype(jnp.int32)),
+    )
+
+    # descriptor DB: one batched row scatter
+    fam = registry.get_family(cfg)
+    full, key = jax.vmap(fam.parts)(descriptors)
+    desc_db = base.db_insert_rows(state.desc_db, full, key, robots, idxs, slots)
+
+    state = state._replace(
+        kf_xyz=state.kf_xyz.at[slots].set(
+            smalls.xyz.reshape(B, -1).astype(state.kf_xyz.dtype)
+        ),
+        kf_mask=state.kf_mask.at[slots].set(smalls.mask),
+        odom_R=state.odom_R.at[slots].set(poses.R.astype(state.odom_R.dtype)),
+        odom_t=state.odom_t.at[slots].set(poses.t.astype(state.odom_t.dtype)),
+        opt_R=state.opt_R.at[slots].set(opt_R.astype(state.opt_R.dtype)),
+        opt_t=state.opt_t.at[slots].set(opt_t.astype(state.opt_t.dtype)),
+        stamps=state.stamps.at[slots].set(stamps.astype(state.stamps.dtype)),
+        counts=state.counts.at[robots].add(1),
+        desc_db=desc_db,
+        graph=g,
+    )
+    return state, slots, idxs, pos + 1
 
 
 def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
@@ -98,23 +253,29 @@ def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
     # an inlier RATIO — invariant under uniform subsampling. The NN pass
     # over the full keyframe cloud was the dominant fleet-step cost
     # (scripts/profile_fleet_phases.py).
-    P = cfg.keyframe.points_per_keyframe
-    n_src = min(cfg.loop.icp_source_points, P)
+    #
+    # The heavy verification INPUTS (keyframe-cloud slice + world
+    # transform + one-hot MXU submap gathers over the big state arrays)
+    # build INSIDE the cond's verify branch: a batch with no inter
+    # candidates — the common serving case — skips them entirely
+    # (measured ~13 ms of a 47 ms 4x16-frame step spent gathering
+    # submaps nobody verified, scripts/profile_fleet_phases.py).
     cur_poses = se3.Pose(state.opt_R[slots], state.opt_t[slots])
-    clouds = pc.Cloud(
-        state.kf_xyz[slots, : n_src * 3].reshape(B, n_src, 3),
-        state.kf_mask[slots, :n_src],
-    )
-    worlds = pc.transform(clouds, cur_poses.R, cur_poses.t)
-    submaps = jax.vmap(
-        lambda ps, mr: _gather_submap(state, ps, mr, cfg)
-    )(pre_slots, m_robs)
 
-    def verify(operands):
-        w_xyz, w_mask, s_xyz, s_mask = operands
+    def verify(_):
+        P = cfg.keyframe.points_per_keyframe
+        n_src = min(cfg.loop.icp_source_points, P)
+        clouds = pc.Cloud(
+            state.kf_xyz[slots, : n_src * 3].reshape(B, n_src, 3),
+            state.kf_mask[slots, :n_src],
+        )
+        worlds = pc.transform(clouds, cur_poses.R, cur_poses.t)
+        submaps = jax.vmap(
+            lambda ps, mr: _gather_submap(state, ps, mr, cfg)
+        )(pre_slots, m_robs)
         res = reg.ransac_align_batched(
-            pc.Cloud(w_xyz, w_mask),
-            pc.Cloud(s_xyz, s_mask),
+            worlds,
+            submaps,
             key,
             attempts,
             num_hypotheses=cfg.loop.ransac_max_iter,
@@ -123,7 +284,7 @@ def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
         )
         return res.success, res.pose.R, res.pose.t, res.inlier_ratio
 
-    def skip(operands):
+    def skip(_):
         dt = state.opt_t.dtype
         return (
             jnp.zeros((B,), bool),
@@ -133,8 +294,7 @@ def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
         )
 
     success, a_R, a_t, ratio = jax.lax.cond(
-        jnp.any(attempts), verify, skip,
-        operand=(worlds.xyz, worlds.mask, submaps.xyz, submaps.mask),
+        jnp.any(attempts), verify, skip, operand=None
     )
     oks = attempts & success
 
@@ -209,25 +369,16 @@ def _fleet_body(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
     inlier_ratio)``.
     """
     B = stamps.shape[0]
-    K = cfg.keyframe.max_keyframes
     smalls, descs = jax.vmap(lambda x, m: _prepare_frame(x, m, cfg))(
         xyz, mask
     )
 
-    # phase 1: sequential ingest (scalar bookkeeping; the heavy prep is
-    # already done). counts_hist[b] = frame b's own-robot keyframe count
-    # at its sequential detection time.
-    def ing(st, inp):
-        r, pR, pt, small, desc, s = inp
-        st, _ = _ingest_prepared(
-            st, r, se3.Pose(pR, pt), small, desc, s, cfg
-        )
-        pos = st.counts[r] - 1
-        slot = r * K + pos
-        return st, (slot, st.desc_db.index[slot], st.counts[r])
-
-    state, (slots, q_idxs, counts_hist) = jax.lax.scan(
-        ing, state, (robots, pose_R, pose_t, smalls, descs, stamps)
+    # phase 1: vectorized mixed-robot block ingest (one scatter per state
+    # array; replaces a lax.scan that carried the whole state through B
+    # per-frame _ingest_prepared steps). counts_hist[b] = frame b's
+    # own-robot keyframe count at its sequential detection time.
+    state, slots, q_idxs, counts_hist = _ingest_prepared_fleet_block(
+        state, robots, se3.Pose(pose_R, pose_t), smalls, descs, stamps, cfg
     )
 
     # phase 2: intra loops, batched lanes
@@ -244,20 +395,36 @@ def _fleet_body(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
         m_idxs, yaws, attempts, match_slots = jax.vmap(retrieve)(
             descs, robots, q_idxs, slots
         )
-        cur_clouds, targets, init_poses = jax.vmap(
-            lambda sl, ms, yw, r, ct: _intra_verify_inputs(
-                state, sl, ms, yw, r, cfg, count=ct
-            )
-        )(slots, match_slots, yaws, robots, counts_hist)
 
-        def verify(operands):
-            cur, tgt, inits, active = operands
-            src_world = pc.transform(cur, inits.R, inits.t)
+        # yaw-initialized start poses (small-array math, needed by both
+        # branches) stay outside the cond; the heavy gathers (keyframe
+        # cloud slice + one-hot MXU submap gather) build inside the verify
+        # branch so candidate-free batches skip them (same rationale as
+        # _detect_verify_inter_block).
+        cur_pose = se3.Pose(state.opt_R[slots], state.opt_t[slots])
+        zero = jnp.zeros_like(yaws)
+        Ryaw = jnp.stack(
+            [
+                jnp.stack([jnp.cos(yaws), -jnp.sin(yaws), zero], -1),
+                jnp.stack([jnp.sin(yaws), jnp.cos(yaws), zero], -1),
+                jnp.stack([zero, zero, jnp.ones_like(yaws)], -1),
+            ],
+            -2,
+        )
+        init_poses = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
+
+        def verify(_):
+            cur, tgt, _inits = jax.vmap(
+                lambda sl, ms, yw, r, ct: _intra_verify_inputs(
+                    state, sl, ms, yw, r, cfg, count=ct
+                )
+            )(slots, match_slots, yaws, robots, counts_hist)
+            src_world = pc.transform(cur, init_poses.R, init_poses.t)
             res = reg.icp_batched(
                 src_world,
                 tgt,
                 se3.identity((B,), dtype=state.opt_t.dtype),
-                active,
+                attempts,
                 max_iters=cfg.loop.icp_iterations,
                 max_corr_dist=cfg.loop.icp_max_corr_dist,
                 tol=cfg.loop.icp_tol,
@@ -266,18 +433,18 @@ def _fleet_body(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
                 target_stride=cfg.loop.icp_target_stride,
                 reuse_final_fitness=cfg.loop.icp_reuse_final_fitness,
             )
-            corrected = se3.compose(res.pose, inits)
+            corrected = se3.compose(res.pose, init_poses)
             return res.fitness, corrected.R, corrected.t
 
-        def skip(operands):
-            _cur, _tgt, inits, _active = operands
+        def skip(_):
             return (
-                jnp.full((B,), jnp.inf, state.opt_t.dtype), inits.R, inits.t
+                jnp.full((B,), jnp.inf, state.opt_t.dtype),
+                init_poses.R,
+                init_poses.t,
             )
 
         fits, corr_R, corr_t = jax.lax.cond(
-            jnp.any(attempts), verify, skip,
-            operand=(cur_clouds, targets, init_poses, attempts),
+            jnp.any(attempts), verify, skip, operand=None
         )
         state, ok_i = _enqueue_intra_block(
             state, robots, slots, match_slots, q_idxs, m_idxs, fits,
