@@ -147,12 +147,18 @@ class SyntheticWorld:
 
 
 def loop_trajectory(
-    n_frames: int = 200, radius: float = 80.0, revisit: bool = True
+    n_frames: int = 200,
+    radius: float = 80.0,
+    revisit: bool = True,
+    laps: float | None = None,
 ) -> np.ndarray:
     """A closed circular survey trajectory [N, 4, 4]: ends where it starts,
 
-    optionally continuing past the start (guaranteed loop closures)."""
-    total = 2 * np.pi * (1.25 if revisit else 1.0)
+    optionally continuing past the start (guaranteed loop closures).
+    ``laps`` overrides the arc length (e.g. 2.0 = two full revolutions, so
+    the whole second lap revisits the first — continuous loop closures,
+    the regime where corrections are visible everywhere)."""
+    total = 2 * np.pi * (laps if laps else (1.25 if revisit else 1.0))
     out = []
     for k in range(n_frames):
         a = total * k / n_frames

@@ -1,0 +1,131 @@
+"""Offline run figure: trajectory + loop closures + map, one PNG per run.
+
+The reference's operator surface is rviz: 9 live layouts plus a loop-closure
+MarkerArray (``config/*_rviz_*.rviz``; ``publishLoopClosureConstraint``,
+``include/distributedMapping.h:1388-1447``). A headless TPU deployment has
+no display server, so the equivalent here is an offline artifact the CLI
+emits next to the trajectory exports: a bird's-eye figure of the optimized
+path vs raw odometry (vs ground truth when available), loop-closure chords
+at their optimized endpoints, and the map points underneath.
+
+Rendered with matplotlib/Agg. Colors follow the validated categorical
+palette (first three slots pass all-pairs colorblind checks): optimized
+estimate = blue, odometry = orange, loop closures = aqua; ground truth is a
+dashed neutral reference line, map points a recessive light-gray scatter.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# validated categorical palette (light mode), text/surface ink tokens
+_BLUE = "#2a78d6"      # slot 1: optimized trajectory
+_ORANGE = "#eb6834"    # slot 2: raw odometry
+_AQUA = "#1baf7a"      # slot 3: loop-closure chords
+_INK = "#0b0b0b"
+_INK_2 = "#52514e"
+_SURFACE = "#fcfcfb"
+_NEUTRAL = "#9a988f"   # ground-truth reference line
+_MAP_GRAY = "#dddbd4"  # map scatter (recessive)
+
+
+def save_run_figure(
+    path: str,
+    est: np.ndarray,
+    odom: np.ndarray | None = None,
+    gt: np.ndarray | None = None,
+    loops: list[dict] | None = None,
+    map_points: np.ndarray | None = None,
+    title: str | None = None,
+    subtitle: str | None = None,
+) -> str:
+    """Write the run figure to ``path`` (PNG). Returns ``path``.
+
+    ``est``/``odom``/``gt``: [N, 4, 4] pose arrays (only translations are
+    drawn). ``loops``: :meth:`Mapper.loop_constraints` dicts (uses ``pi``/
+    ``pj``/``kind``). ``map_points``: [M, 3] world points (subsampled to
+    ~20k for file size).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8.0, 8.0), dpi=110)
+    fig.patch.set_facecolor(_SURFACE)
+    ax.set_facecolor(_SURFACE)
+
+    if map_points is not None and len(map_points):
+        pts = np.asarray(map_points)
+        if len(pts) > 20000:
+            pts = pts[:: len(pts) // 20000 + 1]
+        ax.scatter(
+            pts[:, 0], pts[:, 1], s=0.5, c=_MAP_GRAY, linewidths=0,
+            rasterized=True, label=None, zorder=1,
+        )
+
+    if gt is not None and len(gt):
+        g = np.asarray(gt)
+        ax.plot(
+            g[:, 0, 3], g[:, 1, 3], color=_NEUTRAL, lw=1.6, ls=(0, (4, 3)),
+            label="ground truth", zorder=2,
+        )
+    if odom is not None and len(odom):
+        o = np.asarray(odom)
+        ax.plot(
+            o[:, 0, 3], o[:, 1, 3], color=_ORANGE, lw=2.0,
+            label="odometry (dead reckoning)", zorder=3,
+        )
+    e = np.asarray(est)
+    if len(e):
+        ax.plot(
+            e[:, 0, 3], e[:, 1, 3], color=_BLUE, lw=2.0,
+            label="optimized", zorder=4,
+        )
+        ax.plot(
+            e[0, 0, 3], e[0, 1, 3], marker="o", ms=8, mec=_SURFACE, mew=1.5,
+            color=_BLUE, zorder=5,
+        )
+
+    # chords + endpoint dots: a converged revisit loop has near-coincident
+    # endpoints, so the chord alone degenerates to an invisible point
+    n_loops = 0
+    for lc in loops or []:
+        pi, pj = lc["pi"], lc["pj"]
+        ax.plot(
+            [pi[0], pj[0]], [pi[1], pj[1]], color=_AQUA, lw=1.2, alpha=0.85,
+            marker="o", ms=3.0, mew=0,
+            zorder=3.5, label="loop closure" if n_loops == 0 else None,
+        )
+        n_loops += 1
+
+    # frame the TRAJECTORY (the subject), not the full map extent: a 75 m
+    # sensor range otherwise shrinks the paths to a dot in the middle
+    paths = [p for p in (e, odom, gt) if p is not None and len(p)]
+    if paths:
+        xs = np.concatenate([np.asarray(p)[:, 0, 3] for p in paths])
+        ys = np.concatenate([np.asarray(p)[:, 1, 3] for p in paths])
+        mx = max((xs.max() - xs.min()), (ys.max() - ys.min()), 4.0) * 0.25
+        ax.set_xlim(xs.min() - mx, xs.max() + mx)
+        ax.set_ylim(ys.min() - mx, ys.max() + mx)
+    ax.set_aspect("equal", adjustable="box")
+    ax.set_xlabel("x [m]", color=_INK_2, fontsize=10)
+    ax.set_ylabel("y [m]", color=_INK_2, fontsize=10)
+    ax.tick_params(colors=_INK_2, labelsize=9)
+    for s in ax.spines.values():
+        s.set_color("#e4e2da")
+    ax.grid(True, color="#eceae3", lw=0.7)
+    ax.set_axisbelow(True)
+    if title:
+        ax.set_title(title, color=_INK, fontsize=12, loc="left", pad=30)
+    if subtitle:
+        ax.text(
+            0.0, 1.015, subtitle, transform=ax.transAxes, color=_INK_2,
+            fontsize=9.5, va="bottom",
+        )
+    leg = ax.legend(
+        loc="best", frameon=False, fontsize=9.5, labelcolor=_INK,
+    )
+    fig.tight_layout()
+    fig.savefig(path, facecolor=_SURFACE)
+    plt.close(fig)
+    return path

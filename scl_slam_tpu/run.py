@@ -32,8 +32,19 @@ def build_argparser():
     p.add_argument("--config", help="YAML config path")
     p.add_argument("--output", default="/tmp/scl_slam_tpu_run")
     p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
-    p.add_argument("--odom-drift", type=float, default=0.02,
-                   help="synthetic: forward drift (m) injected per frame")
+    p.add_argument("--odom-drift", type=float, default=0.05,
+                   help="synthetic: random-walk odometry noise sigma "
+                   "(m/frame translation; rotation sigma is 1/10 of it). "
+                   "A random walk matches the optimizer's noise model, so "
+                   "loop closures genuinely correct it — a SYSTEMATIC "
+                   "per-frame bias would be 10+ sigma inconsistent with "
+                   "the model and the MAP rightly refuses to bend the "
+                   "chain (measured; see tests/test_realistic_proxy.py)")
+    p.add_argument("--figure", dest="figure", action="store_true",
+                   default=True,
+                   help="write trajectory.png (paths + loop chords + map) "
+                   "to --output (default on)")
+    p.add_argument("--no-figure", dest="figure", action="store_false")
     p.add_argument("--odometry", choices=["gt", "icp", "imu"], default="gt",
                    help="odometry source: gt = dataset poses (+injected "
                    "drift for synthetic); icp = in-framework scan-to-map "
@@ -51,6 +62,42 @@ def build_argparser():
                    "device program per chunk (Mapper.replay) — amortizes "
                    "the per-dispatch cost; 0 = one program per batch")
     return p
+
+
+def _emit_figure(args, mapper, est, dead, gt_poses, report):
+    """Write the offline run figure (trajectory + loop chords + map) and
+    record its path in the report. Never fails the run."""
+    if not args.figure:
+        return
+    import os
+
+    try:
+        from .io import viz
+
+        sub = None
+        if "ate_rmse_m" in report and "ate_rmse_odom_only_m" in report:
+            sub = (
+                f"ATE {report['ate_rmse_m']:.3f} m optimized vs "
+                f"{report['ate_rmse_odom_only_m']:.3f} m odometry-only  ·  "
+                f"{report['loops_closed']} loops"
+            )
+        elif "ate_rmse_m" in report:
+            sub = (
+                f"ATE {report['ate_rmse_m']:.3f} m  ·  "
+                f"{report['loops_closed']} loops"
+            )
+        report["figure"] = viz.save_run_figure(
+            os.path.join(args.output, "trajectory.png"),
+            est,
+            odom=dead,
+            gt=gt_poses,
+            loops=mapper.loop_constraints(),
+            map_points=mapper.global_map(max_points=1 << 16),
+            title=f"scl_slam_tpu — {args.dataset}, {report['frames']} frames",
+            subtitle=sub,
+        )
+    except Exception as e:  # the figure is auxiliary output
+        report["figure_error"] = str(e)
 
 
 def _run_batched(args, mapper, n, get_scan, get_odom, gt_of, tio, se3, jnp):
@@ -116,9 +163,13 @@ def _run_batched(args, mapper, n, get_scan, get_odom, gt_of, tio, se3, jnp):
         "batch": B,
         "output": args.output,
     }
+    gt_poses = dead = None
     if gt_of(0) is not None:
         gt_poses = np.stack([gt_of(i) for i in kf_frames])
         report["ate_rmse_m"] = round(tio.ate_rmse(est, gt_poses), 4)
+        dead = np.stack([np.asarray(get_odom(i)) for i in kf_frames])
+        report["ate_rmse_odom_only_m"] = round(tio.ate_rmse(dead, gt_poses), 4)
+    _emit_figure(args, mapper, est, dead, gt_poses, report)
     print(_json.dumps(report))
     return 0
 
@@ -151,6 +202,11 @@ def main(argv=None):
         from .config import KeyframeConfig, ScanContextParams
 
         cfg = SlamConfig()
+        # the demo KNOWS its odometry error process (--odom-drift is the
+        # injected random-walk sigma), so the noise model states it: a MAP
+        # solve with odometry claimed 5x more precise than it is barely
+        # bends the chain no matter how many loops close
+        d = max(args.odom_drift, 1e-4)
         cfg = dataclasses.replace(
             cfg,
             keyframe=KeyframeConfig(
@@ -168,6 +224,17 @@ def main(argv=None):
                 history_fitness_score=8.0,
                 submap_capacity=16384,
                 near_keyframes=15,
+            ),
+            optimizer=dataclasses.replace(
+                cfg.optimizer,
+                odometry_sigmas=(d * 0.1,) * 3 + (d,) * 3,
+                # fitness-as-variance calibration: this world's fitness
+                # floor is its sampling spacing (~2-8 m^2 — why the gate
+                # above is 8.0, not the reference 0.3), while the actual
+                # post-ICP alignment error is cm-scale; the raw convention
+                # would hand loop factors meter-scale sigmas. Same
+                # density-dependence note as tests/test_pipeline.py.
+                loop_noise_scale=0.01,
             ),
         )
     else:
@@ -188,16 +255,35 @@ def main(argv=None):
             seed=args.seed, extent=120.0, pts_per_cluster=800, max_range=50.0
         )
         # radius chosen so frame spacing is ~1.5 m (sensor-rate scale; the
-        # ICP odometry correspondence gate assumes it)
-        radius = max(10.0, args.frames * 1.5 / (2 * np.pi * 1.25))
-        gt = kio.loop_trajectory(n_frames=args.frames, radius=radius)
+        # ICP odometry correspondence gate assumes it); two laps so the
+        # whole second lap closes loops against the first
+        laps = 2.0
+        radius = max(10.0, args.frames * 1.5 / (2 * np.pi * laps))
+        gt = kio.loop_trajectory(n_frames=args.frames, radius=radius, laps=laps)
         n = args.frames
-        drift = np.eye(4)
-        drift[0, 3] = args.odom_drift
+        # random-walk odometry noise (sigma = --odom-drift m/frame, rot
+        # sigma 1/10 of it): the realistic LIO error process the
+        # optimizer's noise model describes, so corrections are visible
+        drift_rng = np.random.RandomState(args.seed + 17)
         odom_accum = [gt[0]]
         for k in range(1, n):
             inc = np.linalg.inv(gt[k - 1]) @ gt[k]
-            odom_accum.append(odom_accum[-1] @ inc @ drift)
+            noise = np.asarray(
+                se3.to_matrix(
+                    se3.exp(
+                        jnp.asarray(
+                            np.concatenate(
+                                [
+                                    drift_rng.randn(3) * args.odom_drift * 0.1,
+                                    drift_rng.randn(3) * args.odom_drift,
+                                ]
+                            ),
+                            jnp.float32,
+                        )
+                    )
+                )
+            )
+            odom_accum.append(odom_accum[-1] @ inc @ noise)
         get_scan = lambda k: world.scan_at(gt[k], max_points=32768, seed=k)
         get_odom = lambda k: odom_accum[k]
         gt_of = lambda k: gt[k]
@@ -270,12 +356,14 @@ def main(argv=None):
         "frames_per_s": round(n / wall, 2),
         "output": args.output,
     }
+    gt_poses = dead = None
     if gt_of(0) is not None:
         gt_poses = np.stack([gt_of(k) for k in kf_frames])
         report["ate_rmse_m"] = round(tio.ate_rmse(est, gt_poses), 4)
         if args.odometry == "gt":
             dead = np.stack([np.asarray(get_odom(k)) for k in kf_frames])
             report["ate_rmse_odom_only_m"] = round(tio.ate_rmse(dead, gt_poses), 4)
+    _emit_figure(args, mapper, est, dead, gt_poses, report)
     print(json.dumps(report))
     return 0
 
