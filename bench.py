@@ -31,15 +31,18 @@ axon-backend failure, and two cold judge runs timed out with ZERO output):
   (fresh backend state — in-process retries can hit memoized failures)
   with backoff, up to 4 times within the budget, then falls back to CPU
   with an honest ``"platform": "cpu"`` field on every metric.
-- ``jax.devices()`` and the first op can also HANG outright (observed:
-  545 s with zero output while the axon tunnel never came up). A second
-  watchdog handles that: if NO metric has printed by ``deadline -
-  SCL_SLAM_BENCH_CPU_RESERVE_S`` (default 170 s), the process re-execs
-  itself with CPU forced and shrunken workloads — ``os.execv`` replaces
-  the image even while another thread is stuck inside the backend call.
-  CPU-mode sizes are chosen so retrieval lands in seconds; every record
-  then carries ``"platform": "cpu"`` + ``"note": "cpu fallback,
-  reduced sizes"`` so nobody mistakes them for chip numbers.
+- ``jax.devices()`` and the first op can also HANG for minutes (axon
+  tunnel warmup: a cold process's first host readback measured 195-400+ s)
+  or outright forever. A second watchdog handles that: if NO metric has
+  printed by ``deadline - SCL_SLAM_BENCH_CPU_RESERVE_S`` (default 170 s),
+  a CPU-forced CHILD process with shrunken workloads is spawned to
+  guarantee output, while this process keeps driving the TPU with the
+  full remaining budget — a late tunnel wake-up still yields real chip
+  numbers, printed after (and superseding) the child's lines; the child
+  is killed the moment TPU metrics land. CPU-mode sizes are chosen so
+  retrieval lands in seconds; every CPU record carries
+  ``"platform": "cpu"`` + ``"note": "cpu fallback, reduced sizes"`` so
+  nobody mistakes them for chip numbers.
 - Each metric runs in its own try/except: one failure doesn't kill the
   rest. Device buffers are freed between metrics (shared-chip HBM).
 - The process ends with ``os._exit(0)``: finalizing thousands of device
@@ -95,14 +98,20 @@ def _start_watchdog(deadline: float) -> None:
     threading.Thread(target=run, daemon=True).start()
 
 
-def _start_cpu_fallback_watchdog(deadline: float) -> None:
-    """If NO metric lands by deadline-reserve, re-exec with CPU forced.
+_FALLBACK_CHILD = [None]  # subprocess.Popen of the CPU fallback, if spawned
 
-    This is the hang path: ``jax.devices()`` / the first axon op can block
-    forever in C, unkillable from Python — but ``os.execv`` from another
-    thread still replaces the whole process image. The re-exec'd process
-    sees SCL_SLAM_BENCH_FORCE_CPU=1 and runs shrunken workloads sized for
-    the remaining budget.
+
+def _start_cpu_fallback_watchdog(deadline: float) -> None:
+    """If NO metric lands by deadline-reserve, SPAWN a CPU-forced child.
+
+    This is the hang path: the first axon op can block for minutes
+    (tunnel warmup — measured 195-400+ s cold) or forever, unkillable from
+    Python. The child (SCL_SLAM_BENCH_FORCE_CPU=1, shrunken workloads,
+    inherited stdout) guarantees some metrics land, while THIS process
+    keeps driving the TPU with the full remaining budget — if the tunnel
+    wakes up late, the TPU metrics still print (and, being later lines,
+    win for last-line consumers; the child is killed once the TPU path
+    completes so a stale CPU line can never print after the TPU headline).
     """
     if os.environ.get("SCL_SLAM_BENCH_FORCE_CPU"):
         return  # already the fallback — the deadline watchdog rules here
@@ -117,11 +126,19 @@ def _start_cpu_fallback_watchdog(deadline: float) -> None:
         if _METRICS_PRINTED[0]:
             return
         _log(f"no metric by fallback point (reserve {reserve:.0f}s) — "
-             "re-exec with CPU forced")
-        os.environ["SCL_SLAM_BENCH_FORCE_CPU"] = "1"
+             "spawning CPU-forced child; TPU attempt continues here")
+        import subprocess
+
+        env = dict(os.environ)
+        env["SCL_SLAM_BENCH_FORCE_CPU"] = "1"
+        # child gets its own absolute deadline, 20 s inside the parent's,
+        # so its lines can't trail the parent's late TPU metrics
+        env["SCL_SLAM_BENCH_DEADLINE"] = repr(deadline - 20.0)
         sys.stdout.flush()
         sys.stderr.flush()
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+        _FALLBACK_CHILD[0] = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env
+        )
 
     threading.Thread(target=run, daemon=True).start()
 
@@ -439,6 +456,17 @@ def main():
         # the shared chip
         gc.collect()
 
+    child = _FALLBACK_CHILD[0]
+    if child is not None:
+        if _METRICS_PRINTED[0]:
+            # TPU metrics landed — supersede the CPU child so none of its
+            # lines can print after the TPU headline
+            child.terminate()
+        else:
+            try:  # nothing from the TPU: the child's output is all we have
+                child.wait(timeout=max(0.0, deadline - time.time()))
+            except Exception:
+                child.terminate()
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)  # skip minutes of device-array finalization

@@ -34,12 +34,32 @@ class Cloud(NamedTuple):
 
 
 def from_points(xyz: jax.Array, capacity: int) -> Cloud:
-    """Pad/truncate a host array [M, 3] to a fixed-capacity Cloud."""
-    m = min(xyz.shape[0], capacity)
+    """Pad (or stride-subsample) a host array [M, 3] to a fixed-capacity Cloud.
+
+    Over-capacity scans are subsampled with a uniform stride, NOT truncated:
+    LiDAR scans arrive in beam/azimuth order, so truncation silently drops
+    entire beams or sweep sectors (a 115k-point scan at 65536 capacity would
+    lose half the field of view — every descriptor built from it collapses),
+    while a stride keeps full coverage at reduced density.
+    """
+    xyz = fit_capacity(xyz, capacity)
+    m = xyz.shape[0]
     out = jnp.full((capacity, 3), PAD_VALUE, dtype=jnp.float32)
     out = out.at[:m].set(xyz[:m].astype(jnp.float32))
     mask = jnp.arange(capacity) < m
     return Cloud(out, mask)
+
+
+def fit_capacity(xyz, capacity: int):
+    """Host-side uniform-stride subsample of [M, 3] down to <= capacity
+
+    points (identity when it already fits) — the over-capacity policy of
+    :func:`from_points`, shared by the batched replay staging loops."""
+    m = xyz.shape[0]
+    if m <= capacity:
+        return xyz
+    step = -(-m // capacity)  # ceil
+    return xyz[::step][:capacity]
 
 
 def transform(cloud: Cloud, R: jax.Array, t: jax.Array) -> Cloud:

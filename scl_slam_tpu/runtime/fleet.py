@@ -675,9 +675,9 @@ class FleetMapper(Mapper):
             xyz_np = np.full((chunk, cap, 3), pc.PAD_VALUE, np.float32)
             mask_np = np.zeros((chunk, cap), bool)
             for j, (_, _, scan, _) in enumerate(part):
-                s = np.asarray(scan, np.float32)
-                m = min(s.shape[0], cap)
-                xyz_np[j, :m] = s[:m]
+                s = pc.fit_capacity(np.asarray(scan, np.float32), cap)
+                m = s.shape[0]
+                xyz_np[j, :m] = s
                 mask_np[j, :m] = True
             robots = jnp.asarray(
                 [r for r, *_ in part], jnp.int32

@@ -1638,9 +1638,9 @@ class Mapper:
             xyz_np = np.full((chunk, cap, 3), pc.PAD_VALUE, np.float32)
             mask_np = np.zeros((chunk, cap), bool)
             for j, i in enumerate(idx):
-                s = np.asarray(scans[i], np.float32)
-                m = min(s.shape[0], cap)
-                xyz_np[j, :m] = s[:m]
+                s = pc.fit_capacity(np.asarray(scans[i], np.float32), cap)
+                m = s.shape[0]
+                xyz_np[j, :m] = s
                 mask_np[j, :m] = True
             if transfer == "int16":
                 xyz_dev = jnp.asarray(
