@@ -239,6 +239,10 @@ class GRSDParams:
     num_candidates: int = 10
     exclude_recent: int = 30
     distance_threshold: float = 160.0
+    # voxel-transition grid (pcl::GRSDEstimation radius, descriptor.h:90)
+    voxel_width: float = 2.0
+    extent_xy: float = 80.0
+    extent_z: float = 16.0
 
 
 @dataclass(frozen=True)

@@ -39,20 +39,35 @@ class GRSDConfig:
     num_candidates: int = 10
     exclude_recent: int = 30
     distance_threshold: float = 160.0   # reference L2 gate (descriptor.h:158)
+    # voxel grid (reference: pcl::GRSDEstimation with setRadiusSearch(2.0),
+    # descriptor.h:90 — PCL's GRSD voxel width equals the search radius)
+    voxel_width: float = 2.0
+    extent_xy: float = 80.0   # grid covers [-extent, extent) per axis
+    extent_z: float = 16.0
+    rsd_subdiv: int = 5       # alpha bins of the RSD radius estimate
+
+
+# RSD surface-class thresholds (meters) — the published GRSD categorization
+# regimes (plane / cylinder / noise / sphere / rim) over local min/max
+# surface radius, as used by the PCL estimator the reference instantiates.
+_PLANE_RADIUS = 0.2        # radius cap: r -> min(r, cap); a plane has r = cap
+_MIN_RADIUS_PLANE = 0.1    # r_min above this => plane
+_MIN_RADIUS_CYLINDER = 0.175   # r_max above this (r_min small) => cylinder
+_MAX_RADIUS_NOISE = 0.015  # r_min below this => noise/corner
+_MAX_MIN_RADIUS_DIFF = 0.05    # r_max - r_min below this => sphere
+_CLS_EMPTY = 5             # free-space voxel class (6 classes -> 21 pairs)
 
 
 class GRSD(NamedTuple):
     descriptor: jax.Array    # [21]
 
 
-def _surface_classes(cloud: Cloud, k: int):
-    """Per-point surface-type class from neighborhood covariance eigenvalues.
+def _knn_normals(cloud: Cloud, k: int):
+    """Block-tiled brute-force k-NN + covariance normals, returning BOTH the
 
-    The radius-based surface classes of GRSD (plane / cylinder / sphere /
-    rim / noise) map onto eigenvalue-ratio regimes of the local covariance —
-    the TPU-friendly equivalent of PCL's per-voxel min/max radius estimate.
-    Returns int class [N] in 0..4 and validity [N].
-    """
+    neighbor indices and the unit normals (``ops.pointcloud.estimate_normals``
+    recomputes the k-NN internally; RSD needs the same neighborhoods again,
+    so share one pass — the k-NN is the dominant cost of the descriptor)."""
     xyz = jnp.where(cloud.mask[:, None], cloud.xyz, 1e6)
     n = cloud.capacity
 
@@ -68,40 +83,146 @@ def _surface_classes(cloud: Cloud, k: int):
     mean = jnp.mean(nbrs, axis=1, keepdims=True)
     c = nbrs - mean
     cov = jnp.einsum("nki,nkj->nij", c, c) / k
-    ev = jnp.linalg.eigvalsh(cov)              # ascending [N, 3]
-    e0, e1, e2 = ev[:, 0], ev[:, 1], ev[:, 2]
-    s = jnp.maximum(e2, 1e-9)
-    r0, r1 = e0 / s, e1 / s
-    # class regimes: 0 plane (r0,r1 tiny,big-gap), 1 cylinder (r0 tiny only),
-    # 2 sphere (all similar), 3 rim/edge (intermediate), 4 noise
-    plane = (r0 < 0.01) & (r1 > 0.3)
-    cyl = (r0 < 0.01) & ~plane
-    sph = r0 > 0.3
-    rim = (~plane) & (~cyl) & (~sph) & (r0 < 0.1)
-    cls = jnp.select(
-        [plane, cyl, sph, rim], [0, 1, 2, 3], default=4
+    _, vecs = jnp.linalg.eigh(cov)
+    normals = vecs[..., 0]                      # smallest-eigenvector [N, 3]
+    return idx, nbrs, normals
+
+
+def _rsd_radii(cloud: Cloud, cfg: GRSDConfig):
+    """Per-point RSD min/max surface radius (the radius-based estimate GRSD
+
+    is named for): for each neighbor pair, the arc model ``d = r * alpha``
+    (``d`` = point distance, ``alpha`` = angle between normals) gives a
+    local radius estimate; binning alpha into ``rsd_subdiv`` bins and taking
+    the max distance per bin (PCL ``computeRSD`` semantics) yields robust
+    min/max radii as the extrema of ``d_max(alpha)/alpha`` over bins, capped
+    at the plane radius. Returns r_min [N], r_max [N], valid [N].
+    """
+    idx, nbrs, normals = _knn_normals(cloud, cfg.knn)
+    xyz = jnp.where(cloud.mask[:, None], cloud.xyz, 1e6)
+    diff = nbrs - xyz[:, None, :]
+    d = jnp.linalg.norm(diff, axis=-1)                       # [N, k]
+    # angle between normals; abs() folds the normal sign ambiguity
+    cosang = jnp.abs(jnp.einsum("ni,nki->nk", normals, normals[idx]))
+    alpha = jnp.arccos(jnp.clip(cosang, 0.0, 1.0))           # [0, pi/2]
+    valid = (
+        cloud.mask[:, None]
+        & cloud.mask[idx]
+        & (d > 1e-6)
+        & (d <= cfg.voxel_width)
     )
-    return cls, cloud.mask
+    nb = cfg.rsd_subdiv
+    b = jnp.clip(
+        (alpha / (jnp.pi / 2.0) * nb).astype(jnp.int32), 0, nb - 1
+    )                                                        # [N, k]
+    onehot = jax.nn.one_hot(b, nb, dtype=d.dtype)            # [N, k, nb]
+    w = valid[..., None].astype(d.dtype) * onehot
+    dmax = jnp.max(
+        jnp.where(w > 0, d[..., None], -jnp.inf), axis=1
+    )                                                        # [N, nb]
+    bin_ok = jnp.any(w > 0, axis=1)                          # [N, nb]
+    centers = (jnp.arange(nb, dtype=d.dtype) + 0.5) * (jnp.pi / 2.0) / nb
+    r = jnp.minimum(dmax / centers, _PLANE_RADIUS)           # [N, nb]
+    r_min = jnp.min(jnp.where(bin_ok, r, jnp.inf), axis=1)
+    r_max = jnp.max(jnp.where(bin_ok, r, -jnp.inf), axis=1)
+    pt_ok = jnp.any(bin_ok, axis=1) & cloud.mask
+    return (
+        jnp.where(pt_ok, r_min, 0.0),
+        jnp.where(pt_ok, r_max, 0.0),
+        pt_ok,
+    )
+
+
+# the 13 positive-lexicographic voxel offsets = half the 26-neighborhood
+# (each unordered neighbor pair counted exactly once)
+_OFFSETS = tuple(
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+    if (dz, dy, dx) > (0, 0, 0)
+)
 
 
 def grsd_make(cloud: Cloud, cfg: GRSDConfig) -> GRSD:
-    """21-bin histogram over unordered surface-class pairs among neighbors:
+    """Radius-based voxel-transition GRSD (reference ``descriptor.h:57-100``:
 
-    C(5+1,2)=15 pair bins + 5 singleton bins + 1 total = 21 (the GRSD
-    transition-histogram layout), L1-normalized then scaled — comparable
-    under the reference's absolute L2 gates."""
-    cls, valid = _surface_classes(cloud, cfg.knn)
-    # histogram of classes
-    onehot = jax.nn.one_hot(cls, 5) * valid[:, None]
-    counts = jnp.sum(onehot, axis=0)           # [5]
-    total = jnp.maximum(jnp.sum(counts), 1.0)
-    frac = counts / total
-    # pairwise co-occurrence (outer product) upper triangle -> 15 entries
-    pair = jnp.outer(frac, frac)
-    iu = jnp.triu_indices(5)
-    pair_feats = pair[iu]                       # [15]
-    d = jnp.concatenate([frac, pair_feats, jnp.array([1.0])]) * 100.0
-    return GRSD(d)
+    ``pcl::GRSDEstimation`` with normals + ``setRadiusSearch(2.0)``).
+    TPU-native pipeline, all static shapes:
+
+    1. per-point RSD min/max surface radius (:func:`_rsd_radii`);
+    2. scatter-mean the radii onto a dense ``voxel_width`` grid and classify
+       each occupied voxel into {noise, plane, cylinder, sphere, rim}; free
+       voxels are class 5;
+    3. histogram the class transitions between each voxel and its
+       26-neighborhood (13 unique directions, ``jnp.roll`` + boundary masks)
+       into the 21 unordered class pairs, skipping free-free pairs.
+
+    The descriptor is the raw transition-count histogram (PCL's
+    ``GRSDSignature21`` is likewise unnormalized), compared downstream with
+    the reference's absolute L2 gate.
+    """
+    r_min, r_max, ok = _rsd_radii(cloud, cfg)
+    w = cfg.voxel_width
+    gx = int(round(2.0 * cfg.extent_xy / w))
+    gz = int(round(2.0 * cfg.extent_z / w))
+    xyz = cloud.xyz
+    ix = jnp.floor((xyz[:, 0] + cfg.extent_xy) / w).astype(jnp.int32)
+    iy = jnp.floor((xyz[:, 1] + cfg.extent_xy) / w).astype(jnp.int32)
+    iz = jnp.floor((xyz[:, 2] + cfg.extent_z) / w).astype(jnp.int32)
+    inb = (
+        (ix >= 0) & (ix < gx) & (iy >= 0) & (iy < gx)
+        & (iz >= 0) & (iz < gz) & ok
+    )
+    flat = jnp.where(inb, (ix * gx + iy) * gz + iz, 0)
+    nv = gx * gx * gz
+    wgt = inb.astype(xyz.dtype)
+    cnt = jnp.zeros((nv,), xyz.dtype).at[flat].add(wgt)
+    s_min = jnp.zeros((nv,), xyz.dtype).at[flat].add(r_min * wgt)
+    s_max = jnp.zeros((nv,), xyz.dtype).at[flat].add(r_max * wgt)
+    occ = cnt > 0
+    vmin = s_min / jnp.maximum(cnt, 1.0)
+    vmax = s_max / jnp.maximum(cnt, 1.0)
+    cls = jnp.select(
+        [
+            ~occ,
+            vmin > _MIN_RADIUS_PLANE,                       # plane
+            vmax > _MIN_RADIUS_CYLINDER,                    # cylinder
+            vmin < _MAX_RADIUS_NOISE,                       # noise/corner
+            (vmax - vmin) < _MAX_MIN_RADIUS_DIFF,           # sphere
+        ],
+        [_CLS_EMPTY, 1, 2, 0, 3],
+        default=4,                                          # rim/edge
+    ).reshape(gx, gx, gz)
+    occ3 = occ.reshape(gx, gx, gz)
+
+    # triangular unordered-pair index over 6 classes -> 21 bins:
+    # idx(a<=b) = a*6 - a*(a-1)/2 + (b-a)
+    def tri(a, b):
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        return lo * 6 - (lo * (lo - 1)) // 2 + (hi - lo)
+
+    ax_idx = [
+        jnp.arange(gx)[:, None, None],
+        jnp.arange(gx)[None, :, None],
+        jnp.arange(gz)[None, None, :],
+    ]
+    dims = (gx, gx, gz)
+    hist = jnp.zeros((cfg.num_bins,), xyz.dtype)
+    for off in _OFFSETS:
+        nb_cls = jnp.roll(cls, tuple(-o for o in off), axis=(0, 1, 2))
+        nb_occ = jnp.roll(occ3, tuple(-o for o in off), axis=(0, 1, 2))
+        inbounds = jnp.ones((), bool)
+        for a, o in enumerate(off):
+            if o == 1:
+                inbounds = inbounds & (ax_idx[a] < dims[a] - 1)
+            elif o == -1:
+                inbounds = inbounds & (ax_idx[a] > 0)
+        keep = inbounds & (occ3 | nb_occ)      # skip free-free pairs
+        pair = tri(cls, nb_cls).reshape(-1)
+        hist = hist.at[pair].add(keep.reshape(-1).astype(xyz.dtype))
+    return GRSD(hist)
 
 
 # ---------------------------------------------------------------------------

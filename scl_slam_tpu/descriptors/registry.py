@@ -177,6 +177,8 @@ def get_family(cfg: SlamConfig) -> Family:
             num_bins=p.num_bins, knn=p.knn, num_candidates=p.num_candidates,
             exclude_recent=p.exclude_recent,
             distance_threshold=p.distance_threshold,
+            voxel_width=p.voxel_width, extent_xy=p.extent_xy,
+            extent_z=p.extent_z,
         )
         return _vector_family(
             "grsd",
