@@ -26,6 +26,8 @@ _INK_2 = "#52514e"
 _SURFACE = "#fcfcfb"
 _NEUTRAL = "#9a988f"   # ground-truth reference line
 _MAP_GRAY = "#dddbd4"  # map scatter (recessive)
+# per-robot series colors for the fleet figure (categorical slots 1..6)
+_ROBOTS = ["#2a78d6", "#eb6834", "#7a5fd0", "#c2417e", "#7a8a1e", "#0f8a8a"]
 
 
 def save_run_figure(
@@ -125,6 +127,95 @@ def save_run_figure(
     leg = ax.legend(
         loc="best", frameon=False, fontsize=9.5, labelcolor=_INK,
     )
+    fig.tight_layout()
+    fig.savefig(path, facecolor=_SURFACE)
+    plt.close(fig)
+    return path
+
+
+def save_fleet_figure(
+    path: str,
+    trajectories: dict,
+    gts: dict | None = None,
+    loops: list[dict] | None = None,
+    map_points: np.ndarray | None = None,
+    title: str | None = None,
+    subtitle: str | None = None,
+) -> str:
+    """Multi-robot run figure: per-robot optimized paths + loop chords.
+
+    The multi-robot analog of :func:`save_run_figure` (reference: the
+    multi-robot rviz layouts + inter-robot MarkerArray,
+    ``config/*_rviz_*.rviz``). ``trajectories``/``gts``: {label: [N,4,4]}.
+    ``loops``: :meth:`Mapper.loop_constraints` dicts; inter-robot chords
+    draw heavier than intra. Returns ``path``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8.0, 8.0), dpi=110)
+    fig.patch.set_facecolor(_SURFACE)
+    ax.set_facecolor(_SURFACE)
+
+    if map_points is not None and len(map_points):
+        pts = np.asarray(map_points)
+        if len(pts) > 20000:
+            pts = pts[:: len(pts) // 20000 + 1]
+        ax.scatter(pts[:, 0], pts[:, 1], s=0.5, c=_MAP_GRAY, linewidths=0,
+                   rasterized=True, zorder=1)
+
+    for gi, (label, g) in enumerate(sorted((gts or {}).items())):
+        g = np.asarray(g)
+        if len(g):
+            ax.plot(g[:, 0, 3], g[:, 1, 3], color=_NEUTRAL, lw=1.2,
+                    ls=(0, (4, 3)), zorder=2,
+                    label="ground truth" if gi == 0 else None)
+
+    xs, ys = [], []
+    for ri, (label, e) in enumerate(sorted(trajectories.items())):
+        e = np.asarray(e)
+        if not len(e):
+            continue
+        c = _ROBOTS[ri % len(_ROBOTS)]
+        ax.plot(e[:, 0, 3], e[:, 1, 3], color=c, lw=2.0,
+                label=f"robot {label}", zorder=4)
+        ax.plot(e[0, 0, 3], e[0, 1, 3], marker="o", ms=7, mec=_SURFACE,
+                mew=1.4, color=c, zorder=5)
+        xs.append(e[:, 0, 3]); ys.append(e[:, 1, 3])
+
+    n_intra = n_inter = 0
+    for lc in loops or []:
+        pi, pj = lc["pi"], lc["pj"]
+        inter = str(lc.get("kind", "")).startswith("inter")
+        ax.plot([pi[0], pj[0]], [pi[1], pj[1]], color=_AQUA,
+                lw=1.8 if inter else 1.0, alpha=0.9 if inter else 0.7,
+                marker="o", ms=3.0, mew=0, zorder=3.5,
+                label=("inter-robot loop" if inter and n_inter == 0 else
+                       "intra loop" if not inter and n_intra == 0 else None))
+        n_inter += inter
+        n_intra += not inter
+
+    if xs:
+        xcat, ycat = np.concatenate(xs), np.concatenate(ys)
+        m = max(xcat.max() - xcat.min(), ycat.max() - ycat.min(), 4.0) * 0.25
+        ax.set_xlim(xcat.min() - m, xcat.max() + m)
+        ax.set_ylim(ycat.min() - m, ycat.max() + m)
+    ax.set_aspect("equal", adjustable="box")
+    ax.set_xlabel("x [m]", color=_INK_2, fontsize=10)
+    ax.set_ylabel("y [m]", color=_INK_2, fontsize=10)
+    ax.tick_params(colors=_INK_2, labelsize=9)
+    for s in ax.spines.values():
+        s.set_color("#e4e2da")
+    ax.grid(True, color="#eceae3", lw=0.7)
+    ax.set_axisbelow(True)
+    if title:
+        ax.set_title(title, color=_INK, fontsize=12, loc="left", pad=30)
+    if subtitle:
+        ax.text(0.0, 1.015, subtitle, transform=ax.transAxes, color=_INK_2,
+                fontsize=9.5, va="bottom")
+    ax.legend(loc="best", frameon=False, fontsize=9.5, labelcolor=_INK)
     fig.tight_layout()
     fig.savefig(path, facecolor=_SURFACE)
     plt.close(fig)

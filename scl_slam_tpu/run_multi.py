@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -164,6 +165,61 @@ def main(argv=None):
         )
         ates[chr(ord("a") + r)] = round(tio.ate_rmse(est, gt_poses), 4)
     report["ate_rmse_m"] = ates
+    try:  # figure is auxiliary output — never fail the run over it
+        from .io import viz
+
+        trajs = {}
+        gts = {}
+        for r in range(R):
+            est = mappers[0].trajectory(robot=r)
+            if len(est) == 0:
+                continue
+            label = chr(ord("a") + r)
+            trajs[label] = est
+            stamps = mappers[0].keyframe_stamps(robot=r)
+            gts[label] = np.stack(
+                [np.asarray(get_pose(int(round(float(s) / 0.1))))
+                 for s in stamps]
+            )
+        # ONE joint gauge alignment for display: the graph's first-pose
+        # prior deliberately leaves yaw + translation free (reference
+        # GTSAM prior semantics), so the joint estimate is correct only
+        # up to an in-plane rigid gauge; align ALL robots with a single
+        # transform (per-robot alignment would hide genuine inter-robot
+        # misalignment) and move the loop chords/map with it.
+        loops_viz = mappers[0].loop_constraints()
+        map_pts = mappers[0].global_map(max_points=1 << 16)
+        if trajs:
+            est_all = np.concatenate(
+                [trajs[k][:, :3, 3] for k in sorted(trajs)])
+            gt_all = np.concatenate(
+                [gts[k][:, :3, 3] for k in sorted(trajs)])
+            s, Rw, tw = tio.umeyama_align(est_all, gt_all)
+
+            def apply(T):
+                out = T.copy()
+                out[:, :3, 3] = (s * (Rw @ T[:, :3, 3].T)).T + tw
+                out[:, :3, :3] = Rw @ T[:, :3, :3]
+                return out
+
+            trajs = {k: apply(v) for k, v in trajs.items()}
+            for lc in loops_viz:
+                lc["pi"] = s * (Rw @ np.asarray(lc["pi"])) + tw
+                lc["pj"] = s * (Rw @ np.asarray(lc["pj"])) + tw
+            if len(map_pts):
+                map_pts = (s * (Rw @ np.asarray(map_pts).T)).T + tw
+        report["figure"] = viz.save_fleet_figure(
+            os.path.join(args.output, "trajectory.png"),
+            trajs,
+            gts=gts,
+            loops=loops_viz,
+            map_points=map_pts,
+            title=f"scl_slam_tpu — {R} robots, {report['mode']}",
+            subtitle=(f"{intra_loops} intra + {inter_loops} inter loops  ·  "
+                      f"ATE " + ", ".join(f"{k}: {v}" for k, v in ates.items())),
+        )
+    except Exception as e:
+        report["figure_error"] = str(e)
     print(json.dumps(report))
     return 0
 

@@ -55,3 +55,28 @@ def test_save_run_figure_empty_est(tmp_path):
     path = str(tmp_path / "empty.png")
     out = viz.save_run_figure(path, np.zeros((0, 4, 4)))
     assert out == path
+
+
+def test_save_fleet_figure(tmp_path):
+    path = str(tmp_path / "fleet.png")
+    trajs = {"a": _ring(), "b": _ring(r=10.5)}
+    gts = {"a": _ring(r=9.9), "b": _ring(r=10.4)}
+    loops = [
+        {"pi": np.array([10.0, 0.0, 0.0]), "pj": np.array([10.4, 0.2, 0.0]),
+         "kind": "inter"},
+        {"pi": np.array([0.0, 10.0, 0.0]), "pj": np.array([0.1, 9.9, 0.0]),
+         "kind": "intra"},
+    ]
+    out = viz.save_fleet_figure(
+        path, trajs, gts=gts, loops=loops,
+        map_points=np.random.RandomState(1).randn(3000, 3) * 12,
+        title="fleet", subtitle="2 robots")
+    assert out == path
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 10_000
+
+
+def test_save_fleet_figure_empty(tmp_path):
+    path = str(tmp_path / "fleet_empty.png")
+    out = viz.save_fleet_figure(path, {})
+    assert out == path
