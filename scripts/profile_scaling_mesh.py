@@ -34,44 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from scl_slam_tpu.geometry import se3, so3
-from scl_slam_tpu.graph import factors as F
 from scl_slam_tpu.parallel import sharded
-
-GN_ITERS, CG_ITERS = 4, 32
-
-
-def ring_graph(n_poses: int, edge_cap: int, n_loops: int, seed: int = 0):
-    """Noisy ring odometry + random loop closures (the drain's shape)."""
-    rng = np.random.RandomState(seed)
-    ang = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
-    gt_R = so3.from_euler(
-        jnp.asarray(np.stack([np.zeros(n_poses)] * 2 + [ang + np.pi / 2], -1),
-                    jnp.float32))
-    gt_t = jnp.asarray(
-        np.stack([40 * np.cos(ang), 40 * np.sin(ang), np.zeros(n_poses)], -1),
-        jnp.float32)
-    gt = se3.Pose(gt_R, gt_t)
-    g = F.make_graph(edge_cap, 4)
-    g = F.add_prior(g, 0, se3.index(gt, 0), [1e3] * 6)
-    sq = [10.0] * 3 + [20.0] * 3
-    for k in range(n_poses - 1):
-        z = se3.between(se3.index(gt, k), se3.index(gt, k + 1))
-        zn = se3.compose(z, se3.exp(jnp.asarray(
-            rng.randn(6) * np.array([0.002] * 3 + [0.02] * 3), jnp.float32)))
-        g = F.add_between(g, k, k + 1, zn, sq)
-    for _ in range(n_loops):
-        i = int(rng.randint(0, n_poses - 1))
-        j = int((i + n_poses // 2) % n_poses)
-        z = se3.between(se3.index(gt, i), se3.index(gt, j))
-        g = F.add_between(g, min(i, j), max(i, j), z, sq)
-    # noisy initialization: integrate the noisy chain
-    noisy = [se3.index(gt, 0)]
-    for k in range(n_poses - 1):
-        zn = se3.index(g.z, k)
-        noisy.append(se3.compose(noisy[-1], zn))
-    init = se3.Pose(jnp.stack([p.R for p in noisy]), jnp.stack([p.t for p in noisy]))
-    return g, init
+from _scaling_common import GN_ITERS, CG_ITERS, ring_graph
 
 
 def time_solve(n_dev: int, g, init, repeats: int = 5) -> float:
