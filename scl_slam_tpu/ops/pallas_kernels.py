@@ -270,6 +270,95 @@ def nn_select_batched_pallas(
     return d[:, 0], sel
 
 
+def _nn_index_batched_kernel(
+    active_ref, q_ref, t_ref, d_ref, idx_ref, *, tq: int, tt: int
+):
+    """Batched predicated 1-NN returning the ARGMIN INDEX, no payload select.
+
+    The in-kernel payload selection (iota one-hot + dot_general +
+    running-select scratch) costs more than the NN itself: measured
+    2.12 ms/pass with select vs 0.97 ms index-only at 32 x 1024 x 8192
+    (scripts/profile_icp_kernel_variants.py, v5e 2026-08-20). Callers
+    gather the payload rows with ONE `take_along_axis` afterwards —
+    identical selection semantics (same argmin), exact payload values
+    (a gather, like the one-hot HIGHEST dot, reproduces rows exactly).
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        d_ref[0, 0, :] = jnp.full((tq,), jnp.inf, jnp.float32)
+        idx_ref[0, 0, :] = jnp.zeros((tq,), jnp.int32)
+
+    @pl.when(active_ref[b] != 0)
+    def _():
+        q = q_ref[0]
+        t = t_ref[0]
+        d2 = jnp.zeros((tq, tt), jnp.float32)
+        for c in range(3):
+            diff = q[c].reshape(tq, 1) - t[c].reshape(1, tt)
+            d2 = d2 + diff * diff
+        tile_best = jnp.min(d2, axis=1)
+        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        prev_d = d_ref[0, 0, :]
+        take = tile_best < prev_d
+        d_ref[0, 0, :] = jnp.where(take, jnp.maximum(tile_best, 0.0), prev_d)
+        idx_ref[0, 0, :] = jnp.where(take, tile_arg + j * tt, idx_ref[0, 0, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_index_batched_pallas(
+    query: jax.Array,
+    payload: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+):
+    """Per-lane-predicated batched 1-NN, index form (see the kernel note).
+
+    query [B, Nq, 3]; payload [B, P, Nt] (only rows 0-2 are read here —
+    the caller gathers whatever payload rows it needs by the returned
+    index); active [B]. Returns (sq_dist [B, Nq], index [B, Nq] int32);
+    inactive lanes return (inf, 0).
+    """
+    Bn, nq = query.shape[0], query.shape[1]
+    nt = payload.shape[2]
+    tt = pick_target_tile(nt)
+    assert nq % TQ == 0 and tt is not None, (nq, nt)
+    qH = jnp.concatenate(
+        [
+            jnp.swapaxes(query, -1, -2),
+            jnp.zeros((Bn, 1, nq), query.dtype),
+        ],
+        axis=1,
+    )                                                           # [B, 4, Nq]
+
+    d, idx = pl.pallas_call(
+        functools.partial(_nn_index_batched_kernel, tq=TQ, tt=tt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bn, nq // TQ, nt // tt),
+            in_specs=[
+                pl.BlockSpec((1, 4, TQ), lambda b, i, j, a: (b, 0, i)),
+                pl.BlockSpec((1, 4, tt), lambda b, i, j, a: (b, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, TQ), lambda b, i, j, a: (b, 0, i)),
+                pl.BlockSpec((1, 1, TQ), lambda b, i, j, a: (b, 0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Bn, 1, nq), jnp.float32),
+            jax.ShapeDtypeStruct((Bn, 1, nq), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(active.astype(jnp.int32), qH[:, :4], payload[:, :4])
+    return d[:, 0], idx[:, 0]
+
+
 def _nn_select_batched_mxu_kernel(
     active_ref, q_ref, t_ref, d_ref, sel_ref, *, tq: int, tt: int
 ):

@@ -246,6 +246,14 @@ FUSED_ICP = False
 # iterations to the stall exit, outweighing the ~3x VPU op reduction
 # (and a K=3 HIGHEST-precision contraction is a poor MXU fit anyway).
 MXU_NN = False
+# index-form batched NN (argmin index out of the kernel + one XLA payload
+# gather) instead of the in-kernel one-hot payload selection. The kernel
+# alone is 2.2x faster (0.97 vs 2.12 ms/pass at 32x1024x8192,
+# scripts/profile_icp_kernel_variants.py). Default OFF until the in-chunk
+# interleaved A/B (scripts/profile_nn_index_ab.py) confirms the end-to-end
+# win — the XLA payload gather it adds outside the kernel is unmeasured
+# in-chunk, and the headline must not ride on an unproven path.
+NN_INDEX = False
 
 # Hopeless-lane exit: a lane whose updates have stalled AND whose current
 # mean-square correspondence distance is still HOPELESS_MARGIN x the
@@ -469,7 +477,21 @@ def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist,
         d2 = jnp.sum(jnp.square(moved - matched), axis=-1)
         d2 = jnp.where(lanes[:, None], d2, jnp.inf)
     else:
-        if predicated:
+        if predicated and NN_INDEX:
+            # index-form kernel + ONE take_along_axis payload gather:
+            # measured 2.12 -> 0.97 ms/pass at 32x1024x8192 for the kernel
+            # itself (scripts/profile_icp_kernel_variants.py) — the
+            # in-kernel one-hot payload selection cost more than the NN.
+            # Selection semantics identical (same argmin); gathered rows
+            # are exact.
+            d2, idx = pk.nn_index_batched_pallas(moved, payload, lanes)
+            sel = jnp.take_along_axis(
+                payload, idx[:, None, :], axis=2
+            )                                                # [B, P, N]
+            # inactive lanes: idx=0 gathers arbitrary rows — restore the
+            # select-kernel contract (zero payload) so validity is False
+            sel = jnp.where(lanes[:, None, None], sel, 0.0)
+        elif predicated:
             d2, sel = pk.nn_select_batched_pallas(moved, payload, lanes)
         else:
             d2, sel = jax.vmap(nearest_select)(moved, payload)

@@ -396,3 +396,61 @@ class TestMXUSelectKernel:
             jnp.asarray(q), jnp.asarray(payload), active, interpret=True
         )
         assert float(jnp.abs(sel[1]).max()) == 0.0
+
+
+class TestNNIndexBatched:
+    """Index-form batched NN (r4): argmin out of the kernel, payload
+    gathered by the caller — must match the select kernel exactly."""
+
+    def test_matches_select_kernel(self):
+        from scl_slam_tpu.ops.pallas_kernels import (
+            nn_index_batched_pallas,
+            nn_select_batched_pallas,
+        )
+
+        rng = np.random.RandomState(9)
+        B = 3
+        q = jnp.asarray(rng.uniform(-30, 30, (B, 256, 3)), jnp.float32)
+        t = jnp.asarray(rng.uniform(-30, 30, (B, 2048, 3)), jnp.float32)
+        mask = jnp.ones((B, 2048), bool)
+        payload = jnp.concatenate(
+            [jnp.swapaxes(t, -1, -2), mask[:, None].astype(jnp.float32)],
+            axis=1,
+        )
+        active = jnp.array([1, 0, 1], jnp.int32)
+        d_s, sel = nn_select_batched_pallas(q, payload, active, interpret=True)
+        d_i, idx = nn_index_batched_pallas(q, payload, active, interpret=True)
+        gathered = jnp.take_along_axis(payload, idx[:, None, :], axis=2)
+        for b in range(B):
+            if int(active[b]):
+                np.testing.assert_array_equal(
+                    np.asarray(d_s[b]), np.asarray(d_i[b])
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(sel[b]), np.asarray(gathered[b])
+                )
+            else:
+                assert np.all(np.isinf(np.asarray(d_i[b])))
+                assert np.all(np.asarray(idx[b]) == 0)
+
+    def test_multi_target_tile_indices_are_global(self):
+        from scl_slam_tpu.ops.pallas_kernels import nn_index_batched_pallas
+
+        rng = np.random.RandomState(10)
+        # 2048 targets = 2 tiles of pick_target_tile(2048)=1024? -> global
+        # index correctness across tile boundaries is the point
+        q = jnp.asarray(rng.uniform(-5, 5, (2, 256, 3)), jnp.float32)
+        t = jnp.asarray(rng.uniform(-5, 5, (2, 2048, 3)), jnp.float32)
+        payload = jnp.concatenate(
+            [jnp.swapaxes(t, -1, -2), jnp.ones((2, 1, 2048), jnp.float32)],
+            axis=1,
+        )
+        active = jnp.ones((2,), jnp.int32)
+        d, idx = nn_index_batched_pallas(q, payload, active, interpret=True)
+        # brute force oracle
+        d2 = jnp.sum(
+            (q[:, :, None, :] - t[:, None, :, :]) ** 2, axis=-1
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmin(d2, axis=-1)), np.asarray(idx)
+        )
