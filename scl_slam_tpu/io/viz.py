@@ -1,12 +1,12 @@
-"""Offline run figure: trajectory + loop closures + map, one PNG per run.
+"""Offline run figures: trajectory + loop closures + map, one PNG per run.
 
 The reference's operator surface is rviz: 9 live layouts plus a loop-closure
 MarkerArray (``config/*_rviz_*.rviz``; ``publishLoopClosureConstraint``,
 ``include/distributedMapping.h:1388-1447``). A headless TPU deployment has
 no display server, so the equivalent here is an offline artifact the CLI
 emits next to the trajectory exports: a bird's-eye figure of the optimized
-path vs raw odometry (vs ground truth when available), loop-closure chords
-at their optimized endpoints, and the map points underneath.
+path(s) vs raw odometry (vs ground truth when available), loop-closure
+chords at their optimized endpoints, and the map points underneath.
 
 Rendered with matplotlib/Agg. Colors follow the validated categorical
 palette (first three slots pass all-pairs colorblind checks): optimized
@@ -30,23 +30,7 @@ _MAP_GRAY = "#dddbd4"  # map scatter (recessive)
 _ROBOTS = ["#2a78d6", "#eb6834", "#7a5fd0", "#c2417e", "#7a8a1e", "#0f8a8a"]
 
 
-def save_run_figure(
-    path: str,
-    est: np.ndarray,
-    odom: np.ndarray | None = None,
-    gt: np.ndarray | None = None,
-    loops: list[dict] | None = None,
-    map_points: np.ndarray | None = None,
-    title: str | None = None,
-    subtitle: str | None = None,
-) -> str:
-    """Write the run figure to ``path`` (PNG). Returns ``path``.
-
-    ``est``/``odom``/``gt``: [N, 4, 4] pose arrays (only translations are
-    drawn). ``loops``: :meth:`Mapper.loop_constraints` dicts (uses ``pi``/
-    ``pj``/``kind``). ``map_points``: [M, 3] world points (subsampled to
-    ~20k for file size).
-    """
+def _new_axes():
     import matplotlib
 
     matplotlib.use("Agg")
@@ -55,60 +39,40 @@ def save_run_figure(
     fig, ax = plt.subplots(figsize=(8.0, 8.0), dpi=110)
     fig.patch.set_facecolor(_SURFACE)
     ax.set_facecolor(_SURFACE)
+    return plt, fig, ax
 
-    if map_points is not None and len(map_points):
-        pts = np.asarray(map_points)
-        if len(pts) > 20000:
-            pts = pts[:: len(pts) // 20000 + 1]
-        ax.scatter(
-            pts[:, 0], pts[:, 1], s=0.5, c=_MAP_GRAY, linewidths=0,
-            rasterized=True, label=None, zorder=1,
-        )
 
-    if gt is not None and len(gt):
-        g = np.asarray(gt)
-        ax.plot(
-            g[:, 0, 3], g[:, 1, 3], color=_NEUTRAL, lw=1.6, ls=(0, (4, 3)),
-            label="ground truth", zorder=2,
-        )
-    if odom is not None and len(odom):
-        o = np.asarray(odom)
-        ax.plot(
-            o[:, 0, 3], o[:, 1, 3], color=_ORANGE, lw=2.0,
-            label="odometry (dead reckoning)", zorder=3,
-        )
-    e = np.asarray(est)
-    if len(e):
-        ax.plot(
-            e[:, 0, 3], e[:, 1, 3], color=_BLUE, lw=2.0,
-            label="optimized", zorder=4,
-        )
-        ax.plot(
-            e[0, 0, 3], e[0, 1, 3], marker="o", ms=8, mec=_SURFACE, mew=1.5,
-            color=_BLUE, zorder=5,
-        )
+def _draw_map(ax, map_points) -> None:
+    if map_points is None or not len(map_points):
+        return
+    pts = np.asarray(map_points)
+    if len(pts) > 20000:
+        pts = pts[:: len(pts) // 20000 + 1]
+    ax.scatter(pts[:, 0], pts[:, 1], s=0.5, c=_MAP_GRAY, linewidths=0,
+               rasterized=True, label=None, zorder=1)
 
-    # chords + endpoint dots: a converged revisit loop has near-coincident
-    # endpoints, so the chord alone degenerates to an invisible point
-    n_loops = 0
-    for lc in loops or []:
-        pi, pj = lc["pi"], lc["pj"]
-        ax.plot(
-            [pi[0], pj[0]], [pi[1], pj[1]], color=_AQUA, lw=1.2, alpha=0.85,
-            marker="o", ms=3.0, mew=0,
-            zorder=3.5, label="loop closure" if n_loops == 0 else None,
-        )
-        n_loops += 1
 
-    # frame the TRAJECTORY (the subject), not the full map extent: a 75 m
-    # sensor range otherwise shrinks the paths to a dot in the middle
-    paths = [p for p in (e, odom, gt) if p is not None and len(p)]
+def _draw_loop(ax, lc, label) -> None:
+    """One loop chord + endpoint dots: a converged revisit loop has
+    near-coincident endpoints, so the chord alone degenerates to an
+    invisible point."""
+    pi, pj = lc["pi"], lc["pj"]
+    inter = str(lc.get("kind", "")).startswith("inter")
+    ax.plot([pi[0], pj[0]], [pi[1], pj[1]], color=_AQUA,
+            lw=1.8 if inter else 1.1, alpha=0.9 if inter else 0.75,
+            marker="o", ms=3.0, mew=0, zorder=3.5, label=label)
+
+
+def _finish(plt, fig, ax, paths, path, title, subtitle) -> str:
+    """Frame on the TRAJECTORIES (the subject — a 75 m sensor range
+    otherwise shrinks the paths to a dot), style, legend, save."""
+    paths = [np.asarray(p) for p in paths if p is not None and len(p)]
     if paths:
-        xs = np.concatenate([np.asarray(p)[:, 0, 3] for p in paths])
-        ys = np.concatenate([np.asarray(p)[:, 1, 3] for p in paths])
-        mx = max((xs.max() - xs.min()), (ys.max() - ys.min()), 4.0) * 0.25
-        ax.set_xlim(xs.min() - mx, xs.max() + mx)
-        ax.set_ylim(ys.min() - mx, ys.max() + mx)
+        xs = np.concatenate([p[:, 0, 3] for p in paths])
+        ys = np.concatenate([p[:, 1, 3] for p in paths])
+        m = max(xs.max() - xs.min(), ys.max() - ys.min(), 4.0) * 0.25
+        ax.set_xlim(xs.min() - m, xs.max() + m)
+        ax.set_ylim(ys.min() - m, ys.max() + m)
     ax.set_aspect("equal", adjustable="box")
     ax.set_xlabel("x [m]", color=_INK_2, fontsize=10)
     ax.set_ylabel("y [m]", color=_INK_2, fontsize=10)
@@ -120,17 +84,54 @@ def save_run_figure(
     if title:
         ax.set_title(title, color=_INK, fontsize=12, loc="left", pad=30)
     if subtitle:
-        ax.text(
-            0.0, 1.015, subtitle, transform=ax.transAxes, color=_INK_2,
-            fontsize=9.5, va="bottom",
-        )
-    leg = ax.legend(
-        loc="best", frameon=False, fontsize=9.5, labelcolor=_INK,
-    )
+        ax.text(0.0, 1.015, subtitle, transform=ax.transAxes, color=_INK_2,
+                fontsize=9.5, va="bottom")
+    ax.legend(loc="best", frameon=False, fontsize=9.5, labelcolor=_INK)
     fig.tight_layout()
     fig.savefig(path, facecolor=_SURFACE)
     plt.close(fig)
     return path
+
+
+def save_run_figure(
+    path: str,
+    est: np.ndarray,
+    odom: np.ndarray | None = None,
+    gt: np.ndarray | None = None,
+    loops: list[dict] | None = None,
+    map_points: np.ndarray | None = None,
+    title: str | None = None,
+    subtitle: str | None = None,
+) -> str:
+    """Write the single-robot run figure to ``path`` (PNG). Returns ``path``.
+
+    ``est``/``odom``/``gt``: [N, 4, 4] pose arrays (only translations are
+    drawn). ``loops``: :meth:`Mapper.loop_constraints` dicts (uses ``pi``/
+    ``pj``/``kind``). ``map_points``: [M, 3] world points (subsampled to
+    ~20k for file size).
+    """
+    plt, fig, ax = _new_axes()
+    _draw_map(ax, map_points)
+
+    if gt is not None and len(gt):
+        g = np.asarray(gt)
+        ax.plot(g[:, 0, 3], g[:, 1, 3], color=_NEUTRAL, lw=1.6,
+                ls=(0, (4, 3)), label="ground truth", zorder=2)
+    if odom is not None and len(odom):
+        o = np.asarray(odom)
+        ax.plot(o[:, 0, 3], o[:, 1, 3], color=_ORANGE, lw=2.0,
+                label="odometry (dead reckoning)", zorder=3)
+    e = np.asarray(est)
+    if len(e):
+        ax.plot(e[:, 0, 3], e[:, 1, 3], color=_BLUE, lw=2.0,
+                label="optimized", zorder=4)
+        ax.plot(e[0, 0, 3], e[0, 1, 3], marker="o", ms=8, mec=_SURFACE,
+                mew=1.5, color=_BLUE, zorder=5)
+
+    for k, lc in enumerate(loops or []):
+        _draw_loop(ax, lc, "loop closure" if k == 0 else None)
+
+    return _finish(plt, fig, ax, [e, odom, gt], path, title, subtitle)
 
 
 def save_fleet_figure(
@@ -150,21 +151,8 @@ def save_fleet_figure(
     ``loops``: :meth:`Mapper.loop_constraints` dicts; inter-robot chords
     draw heavier than intra. Returns ``path``.
     """
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(8.0, 8.0), dpi=110)
-    fig.patch.set_facecolor(_SURFACE)
-    ax.set_facecolor(_SURFACE)
-
-    if map_points is not None and len(map_points):
-        pts = np.asarray(map_points)
-        if len(pts) > 20000:
-            pts = pts[:: len(pts) // 20000 + 1]
-        ax.scatter(pts[:, 0], pts[:, 1], s=0.5, c=_MAP_GRAY, linewidths=0,
-                   rasterized=True, zorder=1)
+    plt, fig, ax = _new_axes()
+    _draw_map(ax, map_points)
 
     for gi, (label, g) in enumerate(sorted((gts or {}).items())):
         g = np.asarray(g)
@@ -173,7 +161,7 @@ def save_fleet_figure(
                     ls=(0, (4, 3)), zorder=2,
                     label="ground truth" if gi == 0 else None)
 
-    xs, ys = [], []
+    ests = []
     for ri, (label, e) in enumerate(sorted(trajectories.items())):
         e = np.asarray(e)
         if not len(e):
@@ -183,40 +171,15 @@ def save_fleet_figure(
                 label=f"robot {label}", zorder=4)
         ax.plot(e[0, 0, 3], e[0, 1, 3], marker="o", ms=7, mec=_SURFACE,
                 mew=1.4, color=c, zorder=5)
-        xs.append(e[:, 0, 3]); ys.append(e[:, 1, 3])
+        ests.append(e)
 
     n_intra = n_inter = 0
     for lc in loops or []:
-        pi, pj = lc["pi"], lc["pj"]
         inter = str(lc.get("kind", "")).startswith("inter")
-        ax.plot([pi[0], pj[0]], [pi[1], pj[1]], color=_AQUA,
-                lw=1.8 if inter else 1.0, alpha=0.9 if inter else 0.7,
-                marker="o", ms=3.0, mew=0, zorder=3.5,
-                label=("inter-robot loop" if inter and n_inter == 0 else
-                       "intra loop" if not inter and n_intra == 0 else None))
+        label = ("inter-robot loop" if inter and n_inter == 0 else
+                 "intra loop" if not inter and n_intra == 0 else None)
+        _draw_loop(ax, lc, label)
         n_inter += inter
         n_intra += not inter
 
-    if xs:
-        xcat, ycat = np.concatenate(xs), np.concatenate(ys)
-        m = max(xcat.max() - xcat.min(), ycat.max() - ycat.min(), 4.0) * 0.25
-        ax.set_xlim(xcat.min() - m, xcat.max() + m)
-        ax.set_ylim(ycat.min() - m, ycat.max() + m)
-    ax.set_aspect("equal", adjustable="box")
-    ax.set_xlabel("x [m]", color=_INK_2, fontsize=10)
-    ax.set_ylabel("y [m]", color=_INK_2, fontsize=10)
-    ax.tick_params(colors=_INK_2, labelsize=9)
-    for s in ax.spines.values():
-        s.set_color("#e4e2da")
-    ax.grid(True, color="#eceae3", lw=0.7)
-    ax.set_axisbelow(True)
-    if title:
-        ax.set_title(title, color=_INK, fontsize=12, loc="left", pad=30)
-    if subtitle:
-        ax.text(0.0, 1.015, subtitle, transform=ax.transAxes, color=_INK_2,
-                fontsize=9.5, va="bottom")
-    ax.legend(loc="best", frameon=False, fontsize=9.5, labelcolor=_INK)
-    fig.tight_layout()
-    fig.savefig(path, facecolor=_SURFACE)
-    plt.close(fig)
-    return path
+    return _finish(plt, fig, ax, ests, path, title, subtitle)

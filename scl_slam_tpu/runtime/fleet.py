@@ -52,6 +52,8 @@ from .mapper import (
     _gather_submap,
     _intra_verify_inputs,
     _prepare_frame,
+    _scatter_rows_capped,
+    _yaw_seed_pose,
     encode_kf,
 )
 
@@ -161,11 +163,7 @@ def _ingest_prepared_fleet_block(
     p_ok = first & (p_pos < P)
     p_w = jnp.where(p_ok, p_pos, P)
 
-    def scatter_rows(arr, rows, pos_w, cap):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad])[: cap + 1].at[pos_w].set(
-            rows.astype(arr.dtype)
-        )[:cap]
+    scatter_rows = _scatter_rows_capped
 
     g = g._replace(
         i=scatter_rows(g.i, slots - 1, e_w, E),
@@ -314,10 +312,7 @@ def _detect_verify_inter_block(state, key, robots, slots, q_idxs, descs, cfg):
     pos_w = jnp.where(qoks, qpos, Q)
 
     def scatter_rows(arr, rows):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad])[: Q + 1].at[pos_w].set(
-            rows.astype(arr.dtype)
-        )[:Q]
+        return _scatter_rows_capped(arr, rows, pos_w, Q)
 
     new_q = LoopQueue(
         i=scatter_rows(lq.i, encode_kf(m_robs, m_idxs)),
@@ -402,16 +397,7 @@ def _fleet_body(state, key, robots, pose_R, pose_t, xyz, mask, stamps, cfg):
         # branch so candidate-free batches skip them (same rationale as
         # _detect_verify_inter_block).
         cur_pose = se3.Pose(state.opt_R[slots], state.opt_t[slots])
-        zero = jnp.zeros_like(yaws)
-        Ryaw = jnp.stack(
-            [
-                jnp.stack([jnp.cos(yaws), -jnp.sin(yaws), zero], -1),
-                jnp.stack([jnp.sin(yaws), jnp.cos(yaws), zero], -1),
-                jnp.stack([zero, zero, jnp.ones_like(yaws)], -1),
-            ],
-            -2,
-        )
-        init_poses = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
+        init_poses = _yaw_seed_pose(cur_pose, yaws)
 
         def verify(_):
             cur, tgt, _inits = jax.vmap(

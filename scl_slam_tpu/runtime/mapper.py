@@ -376,19 +376,35 @@ def _intra_verify_inputs(
     )
     target = _gather_submap(state, match_slot, robot, cfg, count=count)
     cur_pose = se3.Pose(state.opt_R[slot], state.opt_t[slot])
-    # yaw-initialized start: rotate current cloud by the SC shift
-    # estimate (helps ICP converge on reverse loops)
-    zero = jnp.zeros_like(yaw)
-    Ryaw = jnp.stack(
-        [
-            jnp.stack([jnp.cos(yaw), -jnp.sin(yaw), zero], -1),
-            jnp.stack([jnp.sin(yaw), jnp.cos(yaw), zero], -1),
-            jnp.stack([zero, zero, jnp.ones_like(yaw)], -1),
-        ],
-        -2,
-    )
-    init_pose = se3.Pose(cur_pose.R @ Ryaw, cur_pose.t)
+    init_pose = _yaw_seed_pose(cur_pose, yaw)
     return cur_cloud, target, init_pose
+
+
+def _scatter_rows_capped(arr, rows, pos_w, cap):
+    """Batched row scatter with a scratch overflow slot.
+
+    Rows whose ``pos_w == cap`` land on a throwaway pad row and are
+    dropped by the final slice — the capacity-safe append primitive
+    shared by the queue/graph block-append paths here and in
+    ``runtime/fleet.py`` (the overflow semantics are the load-bearing
+    subtlety; keep them in ONE place).
+    """
+    pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+    return jnp.concatenate([arr, pad])[: cap + 1].at[pos_w].set(
+        rows.astype(arr.dtype)
+    )[:cap]
+
+
+def _yaw_seed_pose(pose: se3.Pose, yaw: jax.Array) -> se3.Pose:
+    """Yaw-initialized ICP start: rotate the current orientation by the
+
+    SC shift estimate, Rz(yaw) (helps ICP converge on reverse loops).
+    Batched over any leading dims shared by ``pose`` and ``yaw``; the one
+    definition serves both the solo intra path and the fleet batch path.
+    """
+    zero = jnp.zeros_like(yaw)
+    Ryaw = so3.from_euler(jnp.stack([zero, zero, yaw], -1))
+    return se3.Pose(pose.R @ Ryaw, pose.t)
 
 
 def _enqueue_intra(
@@ -460,10 +476,7 @@ def _enqueue_intra_block(
     pos_w = jnp.where(qoks, qpos, Q)                  # scratch row drop
 
     def scatter_rows(arr, rows):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad])[: Q + 1].at[pos_w].set(
-            rows.astype(arr.dtype)
-        )[:Q]
+        return _scatter_rows_capped(arr, rows, pos_w, Q)
 
     new_q = LoopQueue(
         i=scatter_rows(q.i, encode_kf(robot, match_indices)),
@@ -641,10 +654,7 @@ def _ingest_prepared_block(
     pos_w = jnp.where(row_ok, edge_pos, E)  # scratch row for dropped writes
 
     def scatter_rows(arr, rows):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad])[: E + 1].at[pos_w].set(
-            rows.astype(arr.dtype)
-        )[:E]
+        return _scatter_rows_capped(arr, rows, pos_w, E)
 
     g = g._replace(
         i=scatter_rows(g.i, slots - 1),
