@@ -3,9 +3,18 @@
 Splits one sequence (synthetic or KITTI) into N per-robot index ranges —
 exactly how the reference simulates multi-robot on one machine with
 namespaced rosbag replays (``launch/test_distributed_loop.launch:34-58``) —
-runs N mappers over the in-process bus, and reports joint ATE.
+and runs them in one of three deployment shapes:
+
+- ``--transport local`` (default): N decentralized mappers over the
+  in-process bus (reference-parity architecture, one process).
+- ``--transport tcp``: N decentralized mappers in N PROCESSES over real
+  sockets (``run_robot.py`` workers + ``runtime/transport.py::TcpBus``) —
+  the process-per-robot shape the reference deploys over TCPROS.
+- ``--fleet``: centralized serving, one shared device state
+  (``runtime/fleet.py``) — the beyond-parity single-TPU mode.
 
     python -m scl_slam_tpu.run_multi --robots 2 --frames 120
+    python -m scl_slam_tpu.run_multi --robots 2 --transport tcp --platform cpu
     python -m scl_slam_tpu.run_multi --robots 3 --dataset kitti --root ... --sequence 05
 """
 from __future__ import annotations
@@ -14,16 +23,19 @@ import argparse
 import dataclasses
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description="scl_slam_tpu multi-robot pipeline")
+def add_dataset_args(p: argparse.ArgumentParser) -> None:
+    """Dataset/config args shared with the per-robot worker CLI."""
     p.add_argument("--robots", type=int, default=2)
-    p.add_argument("--dataset", choices=["synthetic", "kitti"], default="synthetic")
+    p.add_argument("--dataset", choices=["synthetic", "kitti"],
+                   default="synthetic")
     p.add_argument("--root")
     p.add_argument("--sequence", default="05")
     p.add_argument("--frames", type=int, default=120)
@@ -33,162 +45,83 @@ def main(argv=None):
                    help="frames of overlap between adjacent robot segments")
     p.add_argument("--output", default="/tmp/scl_slam_tpu_multi")
     p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
-    p.add_argument("--fleet", action="store_true",
-                   help="centralized serving: one shared device state for "
-                   "all robots (runtime/fleet.py) instead of N decentralized "
-                   "mappers over the bus")
-    args = p.parse_args(argv)
 
-    import jax
 
-    if args.platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
-    import jax.numpy as jnp
-
+def make_cfg(args, r: int):
+    """Per-robot config: YAML base (if given) with identity overrides."""
     from .config import SlamConfig, load_config
-    from .geometry import se3
+
+    base = load_config(args.config) if args.config else SlamConfig()
+    return dataclasses.replace(
+        base, number_of_robots=args.robots, robot_id=r,
+        robot_name=chr(ord("a") + r),
+    )
+
+
+def build_dataset(args):
+    """(get_scan, get_pose, n) — deterministic, so every worker process
+
+    rebuilds the identical dataset from the same args."""
     from .io import kitti as kio
-    from .io import trajectory as tio
-    from .runtime import Mapper
-    from .runtime.transport import LocalBus
-
-    R = args.robots
-
-    def make_cfg(r: int) -> SlamConfig:
-        """Per-robot config: YAML base (if given) with identity overrides."""
-        import dataclasses
-
-        base = load_config(args.config) if args.config else SlamConfig()
-        return dataclasses.replace(
-            base, number_of_robots=R, robot_id=r,
-            robot_name=chr(ord("a") + r),
-        )
 
     if args.dataset == "kitti":
         if not args.root:
-            print("--root required", file=sys.stderr)
-            return 2
+            raise SystemExit("--root required for kitti")
         seq = kio.KittiSequence(args.root, args.sequence)
         n = min(len(seq), args.frames)
-        get_scan = seq.scan
-        get_pose = seq.gt_pose_velo
-    else:
-        world = kio.SyntheticWorld(seed=1)
-        gt = kio.loop_trajectory(n_frames=args.frames, radius=70.0)
-        n = args.frames
-        get_scan = lambda k: world.scan_at(gt[k], max_points=16384, seed=k)
-        get_pose = lambda k: gt[k]
+        return seq.scan, seq.gt_pose_velo, n
+    world = kio.SyntheticWorld(seed=1)
+    gt = kio.loop_trajectory(n_frames=args.frames, radius=70.0)
+    get_scan = lambda k: world.scan_at(gt[k], max_points=16384, seed=k)
+    return get_scan, (lambda k: gt[k]), args.frames
 
-    # index split with overlap (the reference's bag splits overlap in space)
+
+def make_splits(n: int, R: int, overlap: int) -> list[list[int]]:
+    """Index split with overlap (the reference's bag splits overlap in
+    space)."""
     seg = n // R
-    splits = [
-        list(range(max(0, r * seg - args.overlap), min(n, (r + 1) * seg)))
+    return [
+        list(range(max(0, r * seg - overlap), min(n, (r + 1) * seg)))
         for r in range(R)
     ]
 
-    if args.fleet:
-        from .runtime import FleetMapper
 
-        fleet = FleetMapper(make_cfg(0))
-        t0 = time.perf_counter()
-        inter_loops = intra_loops = 0
-        for step in range(max(len(s) for s in splits)):
-            for r in range(R):
-                if step >= len(splits[r]):
-                    continue
-                k = splits[r][step]
-                T = get_pose(k)
-                pose = se3.Pose(
-                    jnp.asarray(T[:3, :3], jnp.float32),
-                    jnp.asarray(T[:3, 3], jnp.float32),
-                )
-                fleet.add_robot_frame(r, pose, get_scan(k), stamp=0.1 * k)
-            for ev in fleet.step():
-                intra_loops += "loop" in ev
-                inter_loops += "inter_loop" in ev
-            fleet.spin()
-        fleet.optimize()
-        wall = time.perf_counter() - t0
-        mappers = [fleet]  # reporting below reads robot 0's (joint) view
-    else:
-        bus = LocalBus()
-        mappers = []
-        for r in range(R):
-            m = Mapper(make_cfg(r))
-            m.attach_bus(bus)
-            mappers.append(m)
+def report_view(mapper, get_pose, R: int, output: str) -> dict:
+    """Joint ATE + figure from ONE mapper's view of every robot (robot 0's
 
-        t0 = time.perf_counter()
-        inter_loops = intra_loops = 0
-        for step in range(max(len(s) for s in splits)):
-            for r in range(R):
-                if step >= len(splits[r]):
-                    continue
-                k = splits[r][step]
-                T = get_pose(k)
-                pose = se3.Pose(
-                    jnp.asarray(T[:3, :3], jnp.float32), jnp.asarray(T[:3, 3], jnp.float32)
-                )
-                wire = mappers[r].add_frame(pose, get_scan(k), stamp=0.1 * k)
-                if wire is not None:
-                    mappers[r].broadcast_latest(wire)
-                    info = mappers[r].spin_once()
-                    if info.get("loop"):
-                        intra_loops += 1
-                    if info.get("inter_loop"):
-                        inter_loops += 1
-        for m in mappers:
-            m.optimize()
-        wall = time.perf_counter() - t0
+    view in-process; the worker's own view in tcp mode). Returns the
+    report fragment: {"ate_rmse_m": ..., "figure": ...}."""
+    from .io import trajectory as tio
 
-    mappers[0].save_trajectories(args.output)
-    report = {
-        "robots": R,
-        "mode": "fleet" if args.fleet else "decentralized",
-        "frames": n,
-        "intra_loops": intra_loops,
-        "inter_loops": inter_loops,
-        "wall_s": round(wall, 2),
-        "frames_per_s": round(n / wall, 2),
-        "output": args.output,
-    }
-    # joint ATE from robot 0's view of everyone
+    frag: dict = {}
     ates = {}
+    trajs = {}
+    gts = {}
     for r in range(R):
-        est = mappers[0].trajectory(robot=r)
+        est = mapper.trajectory(robot=r)
         if len(est) == 0:
             continue
-        stamps = mappers[0].keyframe_stamps(robot=r)
+        stamps = mapper.keyframe_stamps(robot=r)
         gt_poses = np.stack(
             [np.asarray(get_pose(int(round(float(s) / 0.1)))) for s in stamps]
         )
-        ates[chr(ord("a") + r)] = round(tio.ate_rmse(est, gt_poses), 4)
-    report["ate_rmse_m"] = ates
+        label = chr(ord("a") + r)
+        ates[label] = round(tio.ate_rmse(est, gt_poses), 4)
+        trajs[label] = est
+        gts[label] = gt_poses
+    frag["ate_rmse_m"] = ates
+
     try:  # figure is auxiliary output — never fail the run over it
         from .io import viz
 
-        trajs = {}
-        gts = {}
-        for r in range(R):
-            est = mappers[0].trajectory(robot=r)
-            if len(est) == 0:
-                continue
-            label = chr(ord("a") + r)
-            trajs[label] = est
-            stamps = mappers[0].keyframe_stamps(robot=r)
-            gts[label] = np.stack(
-                [np.asarray(get_pose(int(round(float(s) / 0.1))))
-                 for s in stamps]
-            )
         # ONE joint gauge alignment for display: the graph's first-pose
         # prior deliberately leaves yaw + translation free (reference
         # GTSAM prior semantics), so the joint estimate is correct only
         # up to an in-plane rigid gauge; align ALL robots with a single
         # transform (per-robot alignment would hide genuine inter-robot
         # misalignment) and move the loop chords/map with it.
-        loops_viz = mappers[0].loop_constraints()
-        map_pts = mappers[0].global_map(max_points=1 << 16)
+        loops_viz = mapper.loop_constraints()
+        map_pts = mapper.global_map(max_points=1 << 16)
         if trajs:
             est_all = np.concatenate(
                 [trajs[k][:, :3, 3] for k in sorted(trajs)])
@@ -208,21 +141,180 @@ def main(argv=None):
                 lc["pj"] = s * (Rw @ np.asarray(lc["pj"])) + tw
             if len(map_pts):
                 map_pts = (s * (Rw @ np.asarray(map_pts).T)).T + tw
-        report["figure"] = viz.save_fleet_figure(
-            os.path.join(args.output, "trajectory.png"),
+        n_intra = sum(
+            not str(lc.get("kind", "")).startswith("inter") for lc in loops_viz
+        )
+        n_inter = len(loops_viz) - n_intra
+        frag["figure"] = viz.save_fleet_figure(
+            os.path.join(output, "trajectory.png"),
             trajs,
             gts=gts,
             loops=loops_viz,
             map_points=map_pts,
-            title=f"scl_slam_tpu — {R} robots, {report['mode']}",
-            subtitle=(f"{intra_loops} intra + {inter_loops} inter loops  ·  "
-                      f"ATE " + ", ".join(f"{k}: {v}" for k, v in ates.items())),
+            title=f"scl_slam_tpu — {R} robots",
+            subtitle=(f"{n_intra} intra + {n_inter} inter loops  ·  ATE "
+                      + ", ".join(f"{k}: {v}" for k, v in ates.items())),
         )
     except Exception as e:
-        report["figure_error"] = str(e)
+        frag["figure_error"] = str(e)
+    return frag
+
+
+def _run_tcp(args) -> int:
+    """Spawn one ``run_robot`` process per robot over real sockets."""
+    R = args.robots
+    base = 29050 + (os.getpid() % 500) * R
+    ports = [base + r for r in range(R)]
+    workdir = tempfile.mkdtemp(prefix="scl_slam_tcp_")
+    os.makedirs(args.output, exist_ok=True)
+    procs = []
+    t0 = time.perf_counter()
+    for r in range(R):
+        cmd = [
+            sys.executable, "-m", "scl_slam_tpu.run_robot",
+            "--robot", str(r), "--robots", str(R),
+            "--ports", ",".join(map(str, ports)),
+            "--workdir", workdir,
+            "--dataset", args.dataset, "--frames", str(args.frames),
+            "--sequence", args.sequence, "--overlap", str(args.overlap),
+            "--output", args.output, "--platform", args.platform,
+        ]
+        if args.root:
+            cmd += ["--root", args.root]
+        if args.config:
+            cmd += ["--config", args.config]
+        procs.append(subprocess.Popen(cmd))
+    rcs = [p.wait() for p in procs]
+    wall = time.perf_counter() - t0
+    if any(rcs):
+        print(f"worker exit codes: {rcs}", file=sys.stderr)
+        return 1
+    # loop counts summed across workers; robot 0's view is the canonical
+    # joint report (in-process parity)
+    reps = []
+    for rr in range(R):
+        with open(os.path.join(workdir, f"out_{rr}")) as f:
+            reps.append(json.load(f))
+    _, _, n = build_dataset(args)
+    report = {
+        "robots": R,
+        "mode": "decentralized-tcp",
+        "frames": n,
+        "intra_loops": sum(rp["intra_loops"] for rp in reps),
+        "inter_loops": sum(rp["inter_loops"] for rp in reps),
+        "wall_s": round(wall, 2),
+        "frames_per_s": round(n / wall, 2),
+        "output": args.output,
+        "ate_rmse_m": reps[0]["ate_rmse_m"],
+    }
+    if "figure" in reps[0]:
+        report["figure"] = reps[0]["figure"]
+    print(json.dumps(report))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="scl_slam_tpu multi-robot pipeline")
+    add_dataset_args(p)
+    p.add_argument("--fleet", action="store_true",
+                   help="centralized serving: one shared device state for "
+                   "all robots (runtime/fleet.py) instead of N decentralized "
+                   "mappers over the bus")
+    p.add_argument("--transport", choices=["local", "tcp"], default="local",
+                   help="decentralized bus: in-process (local) or one "
+                   "process per robot over real sockets (tcp)")
+    args = p.parse_args(argv)
+
+    if args.transport == "tcp" and not args.fleet:
+        return _run_tcp(args)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from .geometry import se3
+    from .runtime import Mapper
+    from .runtime.transport import LocalBus
+
+    R = args.robots
+    get_scan, get_pose, n = build_dataset(args)
+    splits = make_splits(n, R, args.overlap)
+
+    if args.fleet:
+        from .runtime import FleetMapper
+
+        fleet = FleetMapper(make_cfg(args, 0))
+        t0 = time.perf_counter()
+        inter_loops = intra_loops = 0
+        for step in range(max(len(s) for s in splits)):
+            for r in range(R):
+                if step >= len(splits[r]):
+                    continue
+                k = splits[r][step]
+                T = get_pose(k)
+                pose = se3.Pose(
+                    jnp.asarray(T[:3, :3], jnp.float32),
+                    jnp.asarray(T[:3, 3], jnp.float32),
+                )
+                fleet.add_robot_frame(r, pose, get_scan(k), stamp=0.1 * k)
+            for ev in fleet.step():
+                intra_loops += "loop" in ev
+                inter_loops += "inter_loop" in ev
+            fleet.spin()
+        fleet.optimize()
+        wall = time.perf_counter() - t0
+        mapper0 = fleet  # reporting reads robot 0's (joint) view
+    else:
+        bus = LocalBus()
+        mappers = []
+        for r in range(R):
+            m = Mapper(make_cfg(args, r))
+            m.attach_bus(bus)
+            mappers.append(m)
+
+        t0 = time.perf_counter()
+        inter_loops = intra_loops = 0
+        for step in range(max(len(s) for s in splits)):
+            for r in range(R):
+                if step >= len(splits[r]):
+                    continue
+                k = splits[r][step]
+                T = get_pose(k)
+                pose = se3.Pose(
+                    jnp.asarray(T[:3, :3], jnp.float32),
+                    jnp.asarray(T[:3, 3], jnp.float32),
+                )
+                wire = mappers[r].add_frame(pose, get_scan(k), stamp=0.1 * k)
+                if wire is not None:
+                    mappers[r].broadcast_latest(wire)
+                    info = mappers[r].spin_once()
+                    if info.get("loop"):
+                        intra_loops += 1
+                    if info.get("inter_loop"):
+                        inter_loops += 1
+        for m in mappers:
+            m.optimize()
+        wall = time.perf_counter() - t0
+        mapper0 = mappers[0]
+
+    mapper0.save_trajectories(args.output)
+    report = {
+        "robots": R,
+        "mode": "fleet" if args.fleet else "decentralized",
+        "frames": n,
+        "intra_loops": intra_loops,
+        "inter_loops": inter_loops,
+        "wall_s": round(wall, 2),
+        "frames_per_s": round(n / wall, 2),
+        "output": args.output,
+    }
+    report.update(report_view(mapper0, get_pose, R, args.output))
     print(json.dumps(report))
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.exit(main())

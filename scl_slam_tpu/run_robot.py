@@ -1,0 +1,122 @@
+"""Per-robot worker process for ``run_multi --transport tcp``.
+
+One process = one robot's Mapper over a real socket transport
+(``runtime/transport.py::TcpBus``) — the process-per-robot deployment
+shape the reference runs over TCPROS (one ROS node per robot,
+``src/distributedMapping.cpp``). Spawned by ``run_multi``; can also be
+launched by hand on N machines (point ``--ports`` at the peers).
+
+Choreography (sentinel files in ``--workdir``, the pattern proven by
+``tests/tcpbus_worker.py``):
+
+- ``ready_<r>``: listener up. Everyone waits for all before feeding, so
+  no descriptor broadcast is lost (the in-order peer-chain protocol
+  drops anything after a gap).
+- ``fed_<r>``: robot r finished feeding. Feeding is SERIAL by robot id:
+  robot r waits for ``fed_<r-1>`` — descriptor ingestion happens on the
+  bus thread while the main thread is idle in the wait (the
+  thread-safety envelope the transport is tested under), and later
+  robots then close inter-robot loops against every earlier robot's
+  full stream, with verification RPCs crossing the sockets to the
+  idle-serving earlier workers.
+- after ``fed_<R-1>`` (all feeding done, hence no more RPCs in flight)
+  every worker optimizes and writes ``out_<r>``; robot 0's out carries
+  the joint view (ATEs + figure), matching the in-process report.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _wait_for(path: str, timeout: float = 600.0) -> None:
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(f"timed out waiting for {path}")
+        time.sleep(0.1)
+
+
+def main(argv=None):
+    from .run_multi import (
+        add_dataset_args, build_dataset, make_cfg, make_splits, report_view,
+    )
+
+    p = argparse.ArgumentParser(description="scl_slam_tpu per-robot worker")
+    add_dataset_args(p)
+    p.add_argument("--robot", type=int, required=True)
+    p.add_argument("--ports", required=True,
+                   help="comma-separated listen ports, one per robot")
+    p.add_argument("--workdir", required=True,
+                   help="shared dir for the barrier sentinel files")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .geometry import se3
+    from .runtime import Mapper
+    from .runtime.transport import TcpBus
+
+    r = args.robot
+    R = args.robots
+    ports = [int(x) for x in args.ports.split(",")]
+    assert len(ports) == R
+
+    get_scan, get_pose, n = build_dataset(args)
+    splits = make_splits(n, R, args.overlap)
+
+    peers = {q: ("127.0.0.1", ports[q]) for q in range(R)}
+    bus = TcpBus(r, ports[r], peers)
+    mapper = Mapper(make_cfg(args, r))
+    mapper.attach_bus(bus)
+
+    wd = args.workdir
+    open(os.path.join(wd, f"ready_{r}"), "w").close()
+    for q in range(R):
+        _wait_for(os.path.join(wd, f"ready_{q}"))
+    if r > 0:
+        _wait_for(os.path.join(wd, f"fed_{r - 1}"))
+
+    intra = inter = 0
+    for k in splits[r]:
+        T = get_pose(k)
+        pose = se3.Pose(
+            jnp.asarray(T[:3, :3], jnp.float32),
+            jnp.asarray(T[:3, 3], jnp.float32),
+        )
+        wire = mapper.add_frame(pose, get_scan(k), stamp=0.1 * k)
+        if wire is not None:
+            mapper.broadcast_latest(wire)
+            info = mapper.spin_once()
+            intra += bool(info.get("loop"))
+            inter += bool(info.get("inter_loop"))
+    open(os.path.join(wd, f"fed_{r}"), "w").close()
+
+    # all feeding done everywhere => no verification RPC can still arrive
+    _wait_for(os.path.join(wd, f"fed_{R - 1}"))
+    mapper.optimize()
+
+    out = {"robot": r, "intra_loops": intra, "inter_loops": inter}
+    if r == 0:
+        os.makedirs(args.output, exist_ok=True)
+        mapper.save_trajectories(args.output)
+        out["ate_rmse_m"] = {}
+        out.update(report_view(mapper, get_pose, R, args.output))
+    out["counts"] = [int(c) for c in np.asarray(mapper.state.counts)[:R]]
+    with open(os.path.join(wd, f"out_{r}"), "w") as f:
+        json.dump(out, f)
+    bus.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

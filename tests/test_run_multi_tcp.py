@@ -1,0 +1,38 @@
+"""run_multi --transport tcp: process-per-robot deployment from the CLI.
+
+The reference's deployment shape is one ROS node per robot over TCPROS;
+this drives the analog end-to-end: run_multi spawns one run_robot.py
+process per robot, descriptors stream over persistent TcpBus sockets,
+verification RPCs cross processes, and robot 0's worker produces the
+joint report + figure. (Transport semantics themselves are covered by
+tests/test_transport.py::TestTcpBusCrossProcess; this covers the CLI
+orchestration layer.)
+"""
+import json
+import os
+
+import pytest
+
+
+@pytest.mark.timeout(600)
+def test_tcp_two_process_end_to_end(tmp_path, capsys):
+    from scl_slam_tpu import run_multi
+
+    out = str(tmp_path / "tcp_run")
+    rc = run_multi.main([
+        "--robots", "2", "--frames", "60", "--transport", "tcp",
+        "--platform", "cpu", "--output", out,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["mode"] == "decentralized-tcp"
+    assert report["robots"] == 2
+    # overlap split + robot 1 revisiting robot 0's segment must close at
+    # least one inter-robot loop across the sockets (60 frames: the 40-
+    # frame split spaces keyframes too far apart for the SC gate)
+    assert report["inter_loops"] >= 1, report
+    assert set(report["ate_rmse_m"]) == {"a", "b"}
+    assert all(v < 1.0 for v in report["ate_rmse_m"].values()), report
+    assert os.path.exists(os.path.join(out, "a_tum.txt"))
+    if "figure" in report:
+        assert os.path.exists(report["figure"])
