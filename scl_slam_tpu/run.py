@@ -50,7 +50,10 @@ def build_argparser():
                    "drift for synthetic); icp = in-framework scan-to-map "
                    "point-to-plane odometry; imu = ICP fused with the "
                    "15-state IMU window smoother (IMU synthesized from the "
-                   "dataset motion — the full-LIO front-end path)")
+                   "dataset motion — the full-LIO front-end path). For "
+                   "synthetic icp/imu use >= ~60 frames: below that the "
+                   "10 m radius floor widens frame spacing past the ICP "
+                   "correspondence gate (63 frames: ATE 0.30 m, 23 loops)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=0, metavar="B",
                    help="replay mode: process frames through the macro-"
@@ -254,10 +257,14 @@ def main(argv=None):
         world = kio.SyntheticWorld(
             seed=args.seed, extent=120.0, pts_per_cluster=800, max_range=50.0
         )
-        # radius chosen so frame spacing is ~1.5 m (sensor-rate scale; the
-        # ICP odometry correspondence gate assumes it); two laps so the
-        # whole second lap closes loops against the first
-        laps = 2.0
+        # frame spacing stays ~1.5 m (sensor-rate scale; the ICP odometry
+        # correspondence gate assumes it): up to two laps so revisits
+        # close loops everywhere, but SHORT runs reduce the lap count
+        # instead of letting the 10 m radius floor widen the spacing
+        # (laps=2.0 at 25 frames meant 5 m/frame — ICP odometry diverged,
+        # ATE 7.6 m; with the spacing-derived lap count it matches the
+        # pre-round-4 short-run geometry)
+        laps = float(min(2.0, max(1.25, args.frames * 1.5 / (2 * np.pi * 10.0))))
         radius = max(10.0, args.frames * 1.5 / (2 * np.pi * laps))
         gt = kio.loop_trajectory(n_frames=args.frames, radius=radius, laps=laps)
         n = args.frames

@@ -121,7 +121,10 @@ def main() -> int:
     HEAVY = {
         "test_realistic_proxy.py": 10,
         "test_iris_realistic.py": 10,
+        "test_grsd_realistic.py": 8,      # 4 full-density descriptors (~100 s)
+        "test_run_multi_tcp.py": 8,       # 2-process 60-frame CLI e2e (~110 s)
         "test_solver_scale.py": 5,
+        "test_kitti_format.py": 4,        # mini-dataset write + CLI e2e (~55 s)
         "test_pipeline.py": 4,
         "test_mesh_drain.py": 3,
         "test_descriptor_families.py": 3,
