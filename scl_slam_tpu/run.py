@@ -45,6 +45,10 @@ def build_argparser():
                    help="write trajectory.png (paths + loop chords + map) "
                    "to --output (default on)")
     p.add_argument("--no-figure", dest="figure", action="store_false")
+    p.add_argument("--loader", choices=["python", "native"], default="python",
+                   help="kitti scan reader: python (numpy fromfile) or "
+                   "native (threaded C++ prefetcher, native/dataloader.cpp "
+                   "— overlaps disk reads with the device pipeline)")
     p.add_argument("--odometry", choices=["gt", "icp", "imu"], default="gt",
                    help="odometry source: gt = dataset poses (+injected "
                    "drift for synthetic); icp = in-framework scan-to-map "
@@ -250,7 +254,27 @@ def main(argv=None):
             return 2
         seq = kio.KittiSequence(args.root, args.sequence)
         n = min(len(seq), args.frames)
-        get_scan = seq.scan
+        if args.loader == "native":
+            # threaded C++ .bin prefetcher (native/dataloader.cpp): disk
+            # reads overlap the device pipeline; frames stream IN ORDER,
+            # which is exactly how the run loop consumes them
+            import os as _os
+
+            from .io.native_loader import NativeScanLoader
+
+            paths = [
+                _os.path.join(seq.velo_dir, f) for f in seq.frames[:n]
+            ]
+            stream = iter(NativeScanLoader(paths))
+            next_k = [0]
+
+            def get_scan(k):
+                assert k == next_k[0], "native loader streams in order"
+                xyz, m = next(stream)
+                next_k[0] += 1
+                return xyz[:m]
+        else:
+            get_scan = seq.scan
         get_odom = seq.gt_pose_velo  # stand-in odometry (front ends live upstream)
         gt_of = seq.gt_pose_velo
     else:

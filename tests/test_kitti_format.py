@@ -79,3 +79,23 @@ def test_cli_end_to_end(mini_kitti, tmp_path, capsys):
     assert report["ate_rmse_m"] < 0.05, report
     assert os.path.exists(os.path.join(out, "a_tum.txt"))
     assert os.path.exists(report["figure"])
+
+
+def test_cli_native_loader(mini_kitti, tmp_path, capsys):
+    """--loader native: the threaded C++ prefetcher drives the same run."""
+    from scl_slam_tpu.io import native_loader
+    from scl_slam_tpu import run as cli
+
+    if native_loader.load_library() is None:
+        pytest.skip("native library not built")
+    root, gt = mini_kitti
+    out = str(tmp_path / "kitti_native")
+    rc = cli.main([
+        "--dataset", "kitti", "--root", root, "--sequence", "99",
+        "--frames", str(len(gt)), "--platform", "cpu", "--output", out,
+        "--loader", "native", "--no-figure",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["keyframes"] > 0
+    assert report["ate_rmse_m"] < 0.05, report
