@@ -248,6 +248,10 @@ def main(argv=None):
         cfg = SlamConfig()
     mapper = Mapper(cfg)
 
+    if args.loader == "native" and args.dataset != "kitti":
+        print("--loader native requires --dataset kitti (the synthetic "
+              "world has no .bin files to prefetch)", file=sys.stderr)
+        return 2
     if args.dataset == "kitti":
         if not args.root:
             print("--root required for kitti", file=sys.stderr)

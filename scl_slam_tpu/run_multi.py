@@ -66,7 +66,8 @@ def build_dataset(args):
 
     if args.dataset == "kitti":
         if not args.root:
-            raise SystemExit("--root required for kitti")
+            print("--root required for kitti", file=sys.stderr)
+            raise SystemExit(2)  # usage error (run.py contract)
         seq = kio.KittiSequence(args.root, args.sequence)
         n = min(len(seq), args.frames)
         return seq.scan, seq.gt_pose_velo, n
@@ -97,6 +98,9 @@ def report_view(mapper, get_pose, R: int, output: str) -> dict:
     ates = {}
     trajs = {}
     gts = {}
+    if get_pose(0) is None:  # e.g. a KITTI root without poses/<seq>.txt
+        frag["ate_rmse_m"] = {}
+        return frag
     for r in range(R):
         est = mapper.trajectory(robot=r)
         if len(est) == 0:
@@ -162,40 +166,71 @@ def report_view(mapper, get_pose, R: int, output: str) -> dict:
 
 def _run_tcp(args) -> int:
     """Spawn one ``run_robot`` process per robot over real sockets."""
+    if args.platform == "tpu":
+        print(
+            "--transport tcp spawns one jax process per robot; this rig "
+            "has ONE tunneled TPU chip (exclusive per process). Use "
+            "--platform cpu, or run the workers on separate hosts via "
+            "run_robot.py directly.",
+            file=sys.stderr,
+        )
+        return 2
     R = args.robots
-    base = 29050 + (os.getpid() % 500) * R
-    ports = [base + r for r in range(R)]
+    # reserve guaranteed-free ports by binding port 0 (the
+    # tests/test_transport.py pattern) — pid-derived fixed ports collide
+    # with concurrent runs and can land in the ephemeral range
+    import socket
+
+    socks = []
+    ports = []
+    for _ in range(R):
+        sk = socket.socket()
+        sk.bind(("127.0.0.1", 0))
+        socks.append(sk)
+        ports.append(sk.getsockname()[1])
+    for sk in socks:
+        sk.close()
     workdir = tempfile.mkdtemp(prefix="scl_slam_tcp_")
     os.makedirs(args.output, exist_ok=True)
     procs = []
     t0 = time.perf_counter()
-    for r in range(R):
-        cmd = [
-            sys.executable, "-m", "scl_slam_tpu.run_robot",
-            "--robot", str(r), "--robots", str(R),
-            "--ports", ",".join(map(str, ports)),
-            "--workdir", workdir,
-            "--dataset", args.dataset, "--frames", str(args.frames),
-            "--sequence", args.sequence, "--overlap", str(args.overlap),
-            "--output", args.output, "--platform", args.platform,
-        ]
-        if args.root:
-            cmd += ["--root", args.root]
-        if args.config:
-            cmd += ["--config", args.config]
-        procs.append(subprocess.Popen(cmd))
-    rcs = [p.wait() for p in procs]
-    wall = time.perf_counter() - t0
-    if any(rcs):
-        print(f"worker exit codes: {rcs}", file=sys.stderr)
-        return 1
-    # loop counts summed across workers; robot 0's view is the canonical
-    # joint report (in-process parity)
-    reps = []
-    for rr in range(R):
-        with open(os.path.join(workdir, f"out_{rr}")) as f:
-            reps.append(json.load(f))
-    _, _, n = build_dataset(args)
+    try:
+        for r in range(R):
+            cmd = [
+                sys.executable, "-m", "scl_slam_tpu.run_robot",
+                "--robot", str(r), "--robots", str(R),
+                "--ports", ",".join(map(str, ports)),
+                "--workdir", workdir,
+                "--dataset", args.dataset, "--frames", str(args.frames),
+                "--sequence", args.sequence, "--overlap", str(args.overlap),
+                "--output", args.output, "--platform", args.platform,
+            ]
+            if args.root:
+                cmd += ["--root", args.root]
+            if args.config:
+                cmd += ["--config", args.config]
+            procs.append(subprocess.Popen(cmd))
+        rcs = [p.wait() for p in procs]
+        wall = time.perf_counter() - t0
+        if any(rcs):
+            print(f"worker exit codes: {rcs}", file=sys.stderr)
+            return 1
+        # loop counts summed across workers; robot 0's view is the
+        # canonical joint report (in-process parity)
+        reps = []
+        for rr in range(R):
+            with open(os.path.join(workdir, f"out_{rr}")) as f:
+                reps.append(json.load(f))
+    except BaseException:
+        for pr in procs:  # don't orphan workers on Ctrl-C/errors
+            if pr.poll() is None:
+                pr.terminate()
+        raise
+    finally:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+    n = reps[0]["frames"]
     report = {
         "robots": R,
         "mode": "decentralized-tcp",
@@ -225,7 +260,10 @@ def main(argv=None):
                    "process per robot over real sockets (tcp)")
     args = p.parse_args(argv)
 
-    if args.transport == "tcp" and not args.fleet:
+    if args.transport == "tcp":
+        if args.fleet:
+            p.error("--fleet is a single-process serving mode; it has no "
+                    "tcp transport (drop --transport tcp)")
         return _run_tcp(args)
 
     import jax

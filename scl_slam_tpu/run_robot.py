@@ -32,7 +32,7 @@ import sys
 import time
 
 
-def _wait_for(path: str, timeout: float = 600.0) -> None:
+def _wait_for(path: str, timeout: float) -> None:
     t0 = time.time()
     while not os.path.exists(path):
         if time.time() - t0 > timeout:
@@ -80,11 +80,16 @@ def main(argv=None):
     mapper.attach_bus(bus)
 
     wd = args.workdir
+    # barriers scale with fleet size: on TPU a cold-cache first
+    # compile alone can take 10+ min, and robot r waits behind r-1
+    # robots' full feeds
+    t_ready = 120.0 * max(1, R)
+    t_feed = 900.0 * max(1, R)
     open(os.path.join(wd, f"ready_{r}"), "w").close()
     for q in range(R):
-        _wait_for(os.path.join(wd, f"ready_{q}"))
+        _wait_for(os.path.join(wd, f"ready_{q}"), t_ready)
     if r > 0:
-        _wait_for(os.path.join(wd, f"fed_{r - 1}"))
+        _wait_for(os.path.join(wd, f"fed_{r - 1}"), t_feed)
 
     intra = inter = 0
     for k in splits[r]:
@@ -102,10 +107,11 @@ def main(argv=None):
     open(os.path.join(wd, f"fed_{r}"), "w").close()
 
     # all feeding done everywhere => no verification RPC can still arrive
-    _wait_for(os.path.join(wd, f"fed_{R - 1}"))
+    _wait_for(os.path.join(wd, f"fed_{R - 1}"), t_feed)
     mapper.optimize()
 
-    out = {"robot": r, "intra_loops": intra, "inter_loops": inter}
+    out = {"robot": r, "frames": n, "intra_loops": intra,
+           "inter_loops": inter}
     if r == 0:
         os.makedirs(args.output, exist_ok=True)
         mapper.save_trajectories(args.output)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -1300,6 +1301,16 @@ def _gather_global_map(state: MapperState, per: int):
 # ---------------------------------------------------------------------------
 
 
+def _locked(method):
+    """Serialize a state-mutating Mapper method on the instance lock
+    (see ``Mapper.__init__``; bus threads call into the same object)."""
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._state_lock:
+            return method(self, *args, **kwargs)
+    return wrapper
+
+
 class Mapper:
     """Host-side driver for one robot's SLAM session.
 
@@ -1311,6 +1322,17 @@ class Mapper:
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         self.state = make_state(cfg)
+        # serializes every state-MUTATING entry point: with a socket
+        # transport (TcpBus) peer descriptors are ingested on the bus
+        # thread, which can interleave with the main thread's
+        # read-modify-write of self.state (add_frame/spin_once/optimize)
+        # and silently drop one update. Read-only accessors need no lock:
+        # self.state is one atomic attribute holding an IMMUTABLE pytree.
+        # serve_verification stays lock-free on purpose (it only reads
+        # that atomic reference), so a robot blocked in its own locked
+        # detection RPC can still serve a peer's verification — no
+        # cross-robot lock cycle is possible.
+        self._state_lock = threading.RLock()
         self.robot = cfg.robot_id
         self._last_kf_pose: se3.Pose | None = None
         self._frames_seen = 0
@@ -1416,6 +1438,7 @@ class Mapper:
             or ang >= self.cfg.keyframe.angle_threshold
         )
 
+    @_locked
     def add_frame(
         self, pose: se3.Pose, xyz: np.ndarray, stamp: float = 0.0
     ) -> np.ndarray | None:
@@ -1466,6 +1489,7 @@ class Mapper:
         self._keyframes += 1
         return np.asarray(wire)
 
+    @_locked
     def add_frames(
         self,
         poses,
@@ -1562,6 +1586,7 @@ class Mapper:
                     "eviction could not free capacity for the batch"
                 )
 
+    @_locked
     def replay(
         self,
         poses,
@@ -1733,6 +1758,7 @@ class Mapper:
             "accepted": accepted, "loops": loops, "keyframes": self._keyframes
         }
 
+    @_locked
     def ingest_peer_descriptor(
         self,
         robot: int,
@@ -1761,6 +1787,7 @@ class Mapper:
         )
         return True
 
+    @_locked
     def detect_intra_loop(self) -> dict | None:
         """Try closing a loop on the latest own keyframe."""
         if not self.cfg.loop.intra_enabled or self._keyframes < 2:
@@ -1786,6 +1813,7 @@ class Mapper:
             }
         return None
 
+    @_locked
     def optimize(self) -> np.ndarray:
         """Drain the loop queue and run the pose-graph solve.
 
@@ -1856,6 +1884,7 @@ class Mapper:
             ),
         )
 
+    @_locked
     def detect_inter_loop(self) -> dict | None:
         """Query for a cross-robot loop; on a hit, RPC the owning robot for
 
@@ -1951,6 +1980,7 @@ class Mapper:
         T[:3, 3] = np.asarray(z.t)
         return VerifyResponse(True, T, float(ratio))
 
+    @_locked
     def spin_once(self, now: float | None = None) -> dict:
         """One loop-thread iteration (reference ``loopClosureThread``,
 
