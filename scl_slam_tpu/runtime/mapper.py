@@ -1331,8 +1331,15 @@ class Mapper:
         # serve_verification stays lock-free on purpose (it only reads
         # that atomic reference), so a robot blocked in its own locked
         # detection RPC can still serve a peer's verification — no
-        # cross-robot lock cycle is possible.
+        # cross-robot lock cycle is possible. To keep the serve path
+        # genuinely read-only, the server-side copy of a verified factor
+        # is NOT queued into self.state from the bus thread (that
+        # read-modify-write lost concurrent locked updates — r4 verdict);
+        # it goes into _pending_server_loops under its own tiny lock and
+        # is drained into the device queue by the next locked entry point.
         self._state_lock = threading.RLock()
+        self._pending_server_loops: list[tuple] = []
+        self._pending_loops_lock = threading.Lock()
         self.robot = cfg.robot_id
         self._last_kf_pose: se3.Pose | None = None
         self._frames_seen = 0
@@ -1445,6 +1452,7 @@ class Mapper:
         """Process one odometry frame. Returns the wire descriptor when the
 
         frame became a keyframe (for broadcast to peers), else None."""
+        self._drain_server_loops()
         self._frames_seen += 1
         if not self.should_add_keyframe(pose):
             return None
@@ -1517,6 +1525,7 @@ class Mapper:
         per frame], "loops": [dict | None per accepted frame],
         "keyframes": total}``.
         """
+        self._drain_server_loops()
         n = len(scans)
         if stamps is None:
             stamps = [0.0] * n
@@ -1820,6 +1829,7 @@ class Mapper:
         With a mesh attached (:meth:`attach_mesh`) the solve is the
         distributed two-stage path (rotation init + sharded GN); otherwise
         the single-device warm-started GN (the iSAM2-fallback analog)."""
+        self._drain_server_loops()
         if self._mesh is not None:
             mesh, axis = self._mesh
             self.state, chi2_hist = _drain_queue_and_optimize_mesh(
@@ -1964,21 +1974,46 @@ class Mapper:
         if not bool(success):
             return VerifyResponse(False, None, float(ratio))
         # the verified factor joins BOTH graphs (reference adds it to both
-        # robots' DistributedMappers, distributedMapping.h:1373-1374): queue
-        # it server-side too, so the serving robot's joint solve also
-        # benefits without waiting for a reciprocal detection
-        self.state = _queue_loop(
-            self.state,
-            jnp.array(encode_kf(req.robot_pre, req.index_pre)),
-            jnp.array(encode_kf(req.robot_cur, req.index_cur)),
-            z,
-            jnp.array(max(1e-3, 1.0 - float(ratio)), jnp.float32),
-            self.cfg,
-        )
+        # robots' DistributedMappers, distributedMapping.h:1373-1374). This
+        # method runs on the bus thread WITHOUT the state lock (see
+        # __init__), so it must not touch self.state: buffer the factor
+        # host-side and let the next locked entry point queue it. A
+        # direct self.state = _queue_loop(...) here raced locked mutators
+        # and silently lost whichever write landed first (r4 verdict #1).
         T = np.eye(4)
         T[:3, :3] = np.asarray(z.R)
         T[:3, 3] = np.asarray(z.t)
+        with self._pending_loops_lock:
+            self._pending_server_loops.append(
+                (
+                    encode_kf(req.robot_pre, req.index_pre),
+                    encode_kf(req.robot_cur, req.index_cur),
+                    T,
+                    max(1e-3, 1.0 - float(ratio)),
+                )
+            )
         return VerifyResponse(True, T, float(ratio))
+
+    def _drain_server_loops(self) -> None:
+        """Queue factors buffered by the bus-thread serve path into device
+        state. Caller must hold ``_state_lock`` (all call sites are
+        ``@_locked`` entry points)."""
+        if not self._pending_server_loops:
+            return
+        with self._pending_loops_lock:
+            pending, self._pending_server_loops = self._pending_server_loops, []
+        for a_enc, b_enc, T, noise in pending:
+            self.state = _queue_loop(
+                self.state,
+                jnp.array(a_enc),
+                jnp.array(b_enc),
+                se3.Pose(
+                    jnp.asarray(T[:3, :3], jnp.float32),
+                    jnp.asarray(T[:3, 3], jnp.float32),
+                ),
+                jnp.array(noise, jnp.float32),
+                self.cfg,
+            )
 
     @_locked
     def spin_once(self, now: float | None = None) -> dict:
@@ -1990,6 +2025,7 @@ class Mapper:
         simulated clock."""
         import time as _time
 
+        self._drain_server_loops()
         info = {"loop": self.detect_intra_loop()}
         inter = self.detect_inter_loop()
         if inter:
