@@ -99,6 +99,7 @@ def _start_watchdog(deadline: float) -> None:
 
 
 _FALLBACK_CHILD = [None]  # subprocess.Popen of the CPU fallback, if spawned
+_FALLBACK_OUT = [None]    # path of the child's captured-stdout file
 
 
 def _kill_fallback_child() -> None:
@@ -109,6 +110,33 @@ def _kill_fallback_child() -> None:
         except Exception:
             pass
         _FALLBACK_CHILD[0] = None
+
+
+def _emit_fallback_lines() -> None:
+    """Re-emit the child's COMPLETE metric lines from its capture file.
+
+    The child writes to its own file (not the shared stdout fd): a child
+    terminated mid-write can only tear its last line, and the JSON-parse
+    filter here drops any torn tail, so last-line consumers never see a
+    partial record (advisor r4)."""
+    path = _FALLBACK_OUT[0]
+    if path is None:
+        return
+    try:
+        with open(path) as f:
+            data = f.read()
+    except OSError:
+        return
+    for line in data.split("\n")[:-1]:  # only newline-terminated lines
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            json.loads(line)
+        except ValueError:
+            continue
+        print(line, flush=True)
+        _METRICS_PRINTED[0] += 1
 
 
 def _start_cpu_fallback_watchdog(deadline: float) -> None:
@@ -146,9 +174,17 @@ def _start_cpu_fallback_watchdog(deadline: float) -> None:
         env["SCL_SLAM_BENCH_DEADLINE"] = repr(deadline - 20.0)
         sys.stdout.flush()
         sys.stderr.flush()
+        # child stdout goes to its own file, re-emitted (complete lines
+        # only) iff the TPU path produced nothing — sharing this process's
+        # stdout risked a torn line when the child is killed mid-write
+        import tempfile
+
+        fd, path = tempfile.mkstemp(prefix="scl_slam_bench_cpu_", suffix=".out")
+        _FALLBACK_OUT[0] = path
         _FALLBACK_CHILD[0] = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)], env=env
+            [sys.executable, os.path.abspath(__file__)], env=env, stdout=fd
         )
+        os.close(fd)
 
     threading.Thread(target=run, daemon=True).start()
 
@@ -196,6 +232,8 @@ def _init_backend(deadline: float):
                 )
             except Exception:
                 _FALLBACK_CHILD[0].terminate()
+            _emit_fallback_lines()
+            sys.stdout.flush()
             os._exit(0)
         _log("falling back to CPU (metrics will carry platform=cpu)")
         jax.config.update("jax_platforms", "cpu")
@@ -499,6 +537,7 @@ def main():
                 child.wait(timeout=max(0.0, deadline - time.time()))
             except Exception:
                 child.terminate()
+            _emit_fallback_lines()
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)  # skip minutes of device-array finalization

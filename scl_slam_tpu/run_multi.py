@@ -102,10 +102,12 @@ def report_view(mapper, get_pose, R: int, output: str) -> dict:
         frag["ate_rmse_m"] = {}
         return frag
     for r in range(R):
-        est = mapper.trajectory(robot=r)
+        # one atomic snapshot per robot: separate trajectory()/stamps()
+        # calls can straddle a straggling bus-thread ingest in tcp mode,
+        # crashing ate_rmse on mismatched lengths (advisor r4)
+        est, stamps = mapper.trajectory_with_stamps(robot=r)
         if len(est) == 0:
             continue
-        stamps = mapper.keyframe_stamps(robot=r)
         gt_poses = np.stack(
             [np.asarray(get_pose(int(round(float(s) / 0.1)))) for s in stamps]
         )
@@ -176,20 +178,6 @@ def _run_tcp(args) -> int:
         )
         return 2
     R = args.robots
-    # reserve guaranteed-free ports by binding port 0 (the
-    # tests/test_transport.py pattern) — pid-derived fixed ports collide
-    # with concurrent runs and can land in the ephemeral range
-    import socket
-
-    socks = []
-    ports = []
-    for _ in range(R):
-        sk = socket.socket()
-        sk.bind(("127.0.0.1", 0))
-        socks.append(sk)
-        ports.append(sk.getsockname()[1])
-    for sk in socks:
-        sk.close()
     workdir = tempfile.mkdtemp(prefix="scl_slam_tcp_")
     os.makedirs(args.output, exist_ok=True)
     procs = []
@@ -199,7 +187,11 @@ def _run_tcp(args) -> int:
             cmd = [
                 sys.executable, "-m", "scl_slam_tpu.run_robot",
                 "--robot", str(r), "--robots", str(R),
-                "--ports", ",".join(map(str, ports)),
+                # each worker binds port 0 itself and publishes the bound
+                # port via its ready sentinel — reserving ports here and
+                # closing them before the workers re-bind left a TOCTOU
+                # window another process could grab (advisor r4)
+                "--ports", "auto",
                 "--workdir", workdir,
                 "--dataset", args.dataset, "--frames", str(args.frames),
                 "--sequence", args.sequence, "--overlap", str(args.overlap),

@@ -40,6 +40,16 @@ def _wait_for(path: str, timeout: float) -> None:
         time.sleep(0.1)
 
 
+def _publish(wd: str, name: str, content: str = "") -> None:
+    """Write a sentinel file atomically (tmp + rename): waiters key on
+    existence, so the content — e.g. the worker's bound port — must be
+    complete the instant the file appears."""
+    tmp = os.path.join(wd, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, os.path.join(wd, name))
+
+
 def main(argv=None):
     from .run_multi import (
         add_dataset_args, build_dataset, make_cfg, make_splits, report_view,
@@ -49,7 +59,10 @@ def main(argv=None):
     add_dataset_args(p)
     p.add_argument("--robot", type=int, required=True)
     p.add_argument("--ports", required=True,
-                   help="comma-separated listen ports, one per robot")
+                   help="comma-separated listen ports, one per robot, or "
+                   "'auto': each worker binds an OS-assigned port and "
+                   "publishes it via its ready_<r> sentinel (no reserve-"
+                   "then-rebind TOCTOU window; single-machine runs only)")
     p.add_argument("--workdir", required=True,
                    help="shared dir for the barrier sentinel files")
     args = p.parse_args(argv)
@@ -68,14 +81,21 @@ def main(argv=None):
 
     r = args.robot
     R = args.robots
-    ports = [int(x) for x in args.ports.split(",")]
-    assert len(ports) == R
 
     get_scan, get_pose, n = build_dataset(args)
     splits = make_splits(n, R, args.overlap)
 
-    peers = {q: ("127.0.0.1", ports[q]) for q in range(R)}
-    bus = TcpBus(r, ports[r], peers)
+    if args.ports == "auto":
+        # bind an OS-assigned port and publish it through the ready
+        # sentinel; peers are learned from everyone else's sentinels at
+        # the ready barrier (before any broadcast can happen)
+        bus = TcpBus(r, 0, {})
+    else:
+        ports = [int(x) for x in args.ports.split(",")]
+        assert len(ports) == R
+        bus = TcpBus(r, ports[r], {
+            q: ("127.0.0.1", ports[q]) for q in range(R)
+        })
     mapper = Mapper(make_cfg(args, r))
     mapper.attach_bus(bus)
 
@@ -85,9 +105,15 @@ def main(argv=None):
     # robots' full feeds
     t_ready = 120.0 * max(1, R)
     t_feed = 900.0 * max(1, R)
-    open(os.path.join(wd, f"ready_{r}"), "w").close()
+    _publish(wd, f"ready_{r}", str(bus.port))
     for q in range(R):
         _wait_for(os.path.join(wd, f"ready_{q}"), t_ready)
+    if args.ports == "auto":
+        bus.peers = {
+            q: ("127.0.0.1",
+                int(open(os.path.join(wd, f"ready_{q}")).read()))
+            for q in range(R)
+        }
     if r > 0:
         _wait_for(os.path.join(wd, f"fed_{r - 1}"), t_feed)
 

@@ -118,6 +118,9 @@ def load(mapper: Mapper, path: str) -> Mapper:
     else:
         mapper._last_kf_pose = None
     mapper._verify_key = jnp.asarray(meta["verify_key"], jnp.uint32)
+    # conservative: the crash may have interrupted an unqueried inter
+    # detection — let the first spin_once after resume re-dispatch it
+    mapper._inter_dirty = True
     mapper._evicted = {
         int(r): [
             {

@@ -112,6 +112,12 @@ class TcpBus:
     """
 
     def __init__(self, robot: int, listen_port: int, peers: dict[int, tuple[str, int]]):
+        """``listen_port=0`` binds an OS-assigned free port (read it back
+        from :attr:`port`) — the TOCTOU-free way to wire up a fleet:
+        reserving ports in a parent and closing them before the workers
+        re-bind leaves a window where another process grabs one. ``peers``
+        may start empty and be assigned later (it is read lazily per
+        send), as long as it is populated before the first broadcast."""
         self.robot = robot
         self.peers = peers
         self._on_descriptor = None
@@ -119,6 +125,7 @@ class TcpBus:
         self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._server.bind(("0.0.0.0", listen_port))
+        self.port = self._server.getsockname()[1]
         self._server.listen(16)
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._running = True

@@ -214,3 +214,46 @@ class TestTwoRobots:
         assert not m.ingest_peer_descriptor(1, 5, ident, ident, wire)
         assert m.ingest_peer_descriptor(1, 0, ident, ident, wire)
         assert int(m.state.counts[1]) == 1
+
+    def test_inter_detect_freshness_gate(self, monkeypatch):
+        """detect_inter_loop dispatches the device query only when a new
+        own keyframe or peer descriptor arrived since the last query —
+        at serving cadence (spin_once per raw frame) repeated queries on
+        unchanged inputs are pure dispatch-floor waste."""
+        import scl_slam_tpu.runtime.mapper as mp
+
+        bus = LocalBus()
+        mappers = [Mapper(robot_cfg(0)), Mapper(robot_cfg(1))]
+        for m in mappers:
+            m.attach_bus(bus)
+        calls = [0]
+        real = mp._detect_inter
+
+        def counting(*a, **k):
+            calls[0] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(mp, "_detect_inter", counting)
+        rng = np.random.default_rng(0)
+        scan = rng.normal(size=(512, 3)).astype(np.float32) * 5.0
+        mappers[0].add_frame(se3.identity(), scan, stamp=0.0)
+        assert mappers[0].detect_inter_loop() is None  # empty peer DB
+        assert calls[0] == 1
+        # unchanged inputs: no re-dispatch
+        for _ in range(3):
+            assert mappers[0].detect_inter_loop() is None
+        assert calls[0] == 1
+        # a peer descriptor re-arms the query
+        wire = np.zeros(20 * 60, np.float32)
+        assert mappers[0].ingest_peer_descriptor(
+            1, 0, se3.identity(), se3.identity(), wire
+        )
+        mappers[0].detect_inter_loop()
+        assert calls[0] == 2
+        # a new own keyframe re-arms it too
+        mappers[0].detect_inter_loop()
+        assert calls[0] == 2
+        far = se3.Pose(jnp.eye(3), jnp.asarray([10.0, 0.0, 0.0]))
+        mappers[0].add_frame(far, scan + np.float32([10.0, 0.0, 0.0]), stamp=0.1)
+        mappers[0].detect_inter_loop()
+        assert calls[0] == 3
