@@ -385,17 +385,17 @@ def from_wire(values: jax.Array, cfg: LidarIrisConfig) -> Iris:
     return Iris(values[:n].reshape(cfg.rows, cfg.cols), values[n:])
 
 
-@partial(jax.jit, static_argnames=("cfg", "mode"))
-def query(
+def _query_impl(
     db: base.DescriptorDB,
     iris: Iris,
     query_robot: jax.Array,
     query_index: jax.Array,
     cfg: LidarIrisConfig,
-    mode: str = "intra",
+    mode: str,
 ) -> base.Match:
-    """Two-stage detection (reference ``descriptor.h:1087-1250``): top-k by
-    row key, then the full FFT+Hamming comparison on candidates (vmapped)."""
+    """Two-stage detection body (reference ``descriptor.h:1087-1250``):
+    top-k by row key, then the full FFT+Hamming comparison on candidates
+    (vmapped). Shared by :func:`query` and :func:`query_batch`."""
     mask = base.candidate_mask(db, query_robot, query_index, mode, cfg.exclude_recent)
     _, pos = base.topk_by_key(db.keys, iris.row_key, mask, cfg.num_candidates)
     cand_imgs = db.descriptors[pos]
@@ -414,3 +414,38 @@ def query(
         distance=dist[best],
         yaw=yaw[best],
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
+def query(
+    db: base.DescriptorDB,
+    iris: Iris,
+    query_robot: jax.Array,
+    query_index: jax.Array,
+    cfg: LidarIrisConfig,
+    mode: str = "intra",
+) -> base.Match:
+    return _query_impl(db, iris, query_robot, query_index, cfg, mode)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
+def query_batch(
+    db: base.DescriptorDB,
+    images: jax.Array,       # [B, rows, cols]
+    row_keys: jax.Array,     # [B, rows]
+    query_robots: jax.Array,  # [B]
+    query_indices: jax.Array,  # [B]
+    cfg: LidarIrisConfig,
+    mode: str = "intra",
+) -> base.Match:
+    """Vmapped multi-query retrieval — the serving-throughput path, same
+    contract as ``scan_context.query_batch`` (first-class families get
+    first-class batch serving; reference matching cost center is the
+    per-query ``descriptor.h:933-1023`` Hamming loop). The row-key top-k
+    over all queries is one [B, N] distance matrix; the FFT template
+    match + Hamming stage batches over B x num_candidates pairs."""
+
+    def one(img, key, robot, index):
+        return _query_impl(db, Iris(img, key), robot, index, cfg, mode)
+
+    return jax.vmap(one)(images, row_keys, query_robots, query_indices)

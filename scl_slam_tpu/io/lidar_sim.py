@@ -147,34 +147,28 @@ class UrbanScene:
         return poses
 
 
-@partial(jax.jit, static_argnames=("n_azimuth",))
-def _render(
-    boxes: jax.Array,       # [B, 6]
-    R: jax.Array,           # [3, 3] world-from-sensor
-    t: jax.Array,           # [3]
-    noise_key: jax.Array,
-    n_azimuth: int = 1800,
-    range_sigma: float = 0.02,
-):
-    """Raycast one frame. Returns (xyz [N_BEAMS*n_azimuth, 3] sensor frame,
-    mask [N]). Ray-slab against all boxes + ground plane, nearest hit."""
+def _sensor_dirs(n_azimuth: int) -> jax.Array:
+    """Unit ray directions in the sensor frame, [N_BEAMS * n_azimuth, 3],
+    azimuth-major-last (column a holds azimuth ``az[a]`` for all beams)."""
     az = (jnp.arange(n_azimuth) + 0.5) / n_azimuth * 2 * jnp.pi - jnp.pi
     el = jnp.deg2rad(
         ELEV_LO + (ELEV_HI - ELEV_LO) * (jnp.arange(N_BEAMS) + 0.5) / N_BEAMS
     )
     ce, se = jnp.cos(el)[:, None], jnp.sin(el)[:, None]
     ca, sa = jnp.cos(az)[None, :], jnp.sin(az)[None, :]
-    dirs_s = jnp.stack(
+    return jnp.stack(
         [
             jnp.broadcast_to(ce * ca, (N_BEAMS, n_azimuth)),
             jnp.broadcast_to(ce * sa, (N_BEAMS, n_azimuth)),
             jnp.broadcast_to(se * jnp.ones_like(ca), (N_BEAMS, n_azimuth)),
         ],
         axis=-1,
-    ).reshape(-1, 3)                                   # sensor frame
-    dirs = dirs_s @ R.T                                # world frame
-    o = t[None, :]
+    ).reshape(-1, 3)
 
+
+def _raycast(boxes, o, dirs, noise_key, range_sigma):
+    """Nearest hit per ray: origins [N, 3], world dirs [N, 3] ->
+    (t_hit [N], valid [N]). Ray-slab against all boxes + ground plane."""
     # ground plane z = 0
     dz = dirs[:, 2]
     t_ground = jnp.where(dz < -1e-6, -o[:, 2] / jnp.minimum(dz, -1e-6), jnp.inf)
@@ -191,7 +185,62 @@ def _render(
     t_hit = jnp.minimum(t_ground, t_box)
     valid = jnp.isfinite(t_hit) & (t_hit < MAX_RANGE) & (t_hit > 0.5)
     t_hit = t_hit + range_sigma * jax.random.normal(noise_key, t_hit.shape)
+    return t_hit, valid
+
+
+@partial(jax.jit, static_argnames=("n_azimuth",))
+def _render(
+    boxes: jax.Array,       # [B, 6]
+    R: jax.Array,           # [3, 3] world-from-sensor
+    t: jax.Array,           # [3]
+    noise_key: jax.Array,
+    n_azimuth: int = 1800,
+    range_sigma: float = 0.02,
+):
+    """Raycast one frame. Returns (xyz [N_BEAMS*n_azimuth, 3] sensor frame,
+    mask [N]). Ray-slab against all boxes + ground plane, nearest hit."""
+    dirs_s = _sensor_dirs(n_azimuth)                   # sensor frame
+    dirs = dirs_s @ R.T                                # world frame
+    o = jnp.broadcast_to(t[None, :], dirs.shape)
+    t_hit, valid = _raycast(boxes, o, dirs, noise_key, range_sigma)
     xyz = dirs_s * t_hit[:, None]                      # SENSOR frame
+    xyz = jnp.where(valid[:, None], xyz, 1e6)
+    return xyz, valid
+
+
+@partial(jax.jit, static_argnames=("n_azimuth",))
+def _render_skewed(
+    boxes: jax.Array,
+    R0: jax.Array, t0: jax.Array,   # world-from-sensor at sweep START
+    R1: jax.Array, t1: jax.Array,   # world-from-sensor at sweep END
+    noise_key: jax.Array,
+    n_azimuth: int = 1800,
+    range_sigma: float = 0.02,
+):
+    """Raycast one frame while the sensor MOVES through the sweep.
+
+    The sensor traverses the constant-twist path from (R0, t0) at azimuth
+    -pi to (R1, t1) at +pi (counter-clockwise, one revolution per sweep);
+    each azimuth column is cast from the interpolated pose, and the
+    returned coordinates are in the sensor frame AT CAPTURE TIME — exactly
+    what a real velodyne packet delivers, motion smear included
+    (ops/deskew.py undoes it given the motion).
+    """
+    from ..geometry import se3
+
+    A = n_azimuth
+    dirs_s = _sensor_dirs(A)                           # [64*A, 3]
+    tau = (jnp.arange(A) + 0.5) / A                    # sweep fraction/column
+    M = se3.between(se3.Pose(R0, t0), se3.Pose(R1, t1))
+    xi = se3.log(M)
+    pose_c = se3.compose(
+        se3.Pose(R0, t0), se3.exp(tau[:, None] * xi[None, :])
+    )                                                  # batched [A]
+    Rc = jnp.broadcast_to(pose_c.R[None], (N_BEAMS, A, 3, 3)).reshape(-1, 3, 3)
+    tc = jnp.broadcast_to(pose_c.t[None], (N_BEAMS, A, 3)).reshape(-1, 3)
+    dirs = jnp.einsum("nij,nj->ni", Rc, dirs_s)        # world frame, per ray
+    t_hit, valid = _raycast(boxes, tc, dirs, noise_key, range_sigma)
+    xyz = dirs_s * t_hit[:, None]                      # capture-time frame
     xyz = jnp.where(valid[:, None], xyz, 1e6)
     return xyz, valid
 
@@ -214,6 +263,25 @@ class LidarSim:
             self.scene.boxes,
             jnp.asarray(T[:3, :3], jnp.float32),
             jnp.asarray(T[:3, 3], jnp.float32),
+            jax.random.PRNGKey(seed),
+            n_azimuth=self.n_azimuth,
+        )
+        xyz = np.asarray(xyz)
+        return xyz[np.asarray(mask)]
+
+    def scan_at_skewed(
+        self, T0: np.ndarray, T1: np.ndarray, seed: int = 0
+    ) -> np.ndarray:
+        """Motion-smeared scan [M, 3]: the sensor sweeps from pose ``T0``
+        (azimuth -pi) to ``T1`` (+pi) during capture; coordinates are in
+        the capture-time sensor frame like a real packet. With ``T0 == T1``
+        this equals :meth:`scan_at`."""
+        xyz, mask = _render_skewed(
+            self.scene.boxes,
+            jnp.asarray(T0[:3, :3], jnp.float32),
+            jnp.asarray(T0[:3, 3], jnp.float32),
+            jnp.asarray(T1[:3, :3], jnp.float32),
+            jnp.asarray(T1[:3, 3], jnp.float32),
             jax.random.PRNGKey(seed),
             n_azimuth=self.n_azimuth,
         )

@@ -1,3 +1,3 @@
-from . import pointcloud, registration
+from . import deskew, pointcloud, registration
 
-__all__ = ["pointcloud", "registration"]
+__all__ = ["deskew", "pointcloud", "registration"]

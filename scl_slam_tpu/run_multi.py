@@ -182,27 +182,69 @@ def _run_tcp(args) -> int:
     os.makedirs(args.output, exist_ok=True)
     procs = []
     t0 = time.perf_counter()
+
+    def worker_cmd(r: int, ports: str, resume: bool) -> list[str]:
+        cmd = [
+            sys.executable, "-m", "scl_slam_tpu.run_robot",
+            "--robot", str(r), "--robots", str(R),
+            # each worker binds port 0 itself and publishes the bound
+            # port via its ready sentinel — reserving ports here and
+            # closing them before the workers re-bind left a TOCTOU
+            # window another process could grab (advisor r4)
+            "--ports", ports,
+            "--workdir", workdir,
+            "--dataset", args.dataset, "--frames", str(args.frames),
+            "--sequence", args.sequence, "--overlap", str(args.overlap),
+            "--output", args.output, "--platform", args.platform,
+        ]
+        if args.root:
+            cmd += ["--root", args.root]
+        if args.config:
+            cmd += ["--config", args.config]
+        if args.checkpoint_every:
+            cmd += ["--checkpoint-every", str(args.checkpoint_every)]
+        if resume:
+            cmd += ["--resume"]
+        if args.crash_robot >= 0 and r == args.crash_robot and not resume:
+            cmd += ["--crash-after", str(args.crash_after)]
+        return cmd
+
     try:
         for r in range(R):
-            cmd = [
-                sys.executable, "-m", "scl_slam_tpu.run_robot",
-                "--robot", str(r), "--robots", str(R),
-                # each worker binds port 0 itself and publishes the bound
-                # port via its ready sentinel — reserving ports here and
-                # closing them before the workers re-bind left a TOCTOU
-                # window another process could grab (advisor r4)
-                "--ports", "auto",
-                "--workdir", workdir,
-                "--dataset", args.dataset, "--frames", str(args.frames),
-                "--sequence", args.sequence, "--overlap", str(args.overlap),
-                "--output", args.output, "--platform", args.platform,
-            ]
-            if args.root:
-                cmd += ["--root", args.root]
-            if args.config:
-                cmd += ["--config", args.config]
-            procs.append(subprocess.Popen(cmd))
-        rcs = [p.wait() for p in procs]
+            procs.append(subprocess.Popen(worker_cmd(r, "auto", False)))
+        # supervise: a worker that dies before writing out_<r> is
+        # respawned with --resume, up to --respawn times each (the
+        # reference launches every node respawn="true",
+        # launch/single_ugv.launch:4). The restarted worker must keep its
+        # published port (peers read the ready sentinels once), so the
+        # respawn command pins the ports everyone already published.
+        restarts = [0] * R
+        rcs = [None] * R
+        while any(rc is None for rc in rcs):
+            time.sleep(0.2)
+            for r, pr in enumerate(procs):
+                if rcs[r] is not None:
+                    continue
+                rc = pr.poll()
+                if rc is None:
+                    continue
+                done = os.path.exists(os.path.join(workdir, f"out_{r}"))
+                if rc == 0 or done:
+                    rcs[r] = rc if rc == 0 else 0
+                elif restarts[r] < args.respawn:
+                    restarts[r] += 1
+                    print(f"worker {r} died rc={rc}; respawn "
+                          f"{restarts[r]}/{args.respawn}", file=sys.stderr)
+                    try:
+                        ports = ",".join(
+                            open(os.path.join(workdir, f"ready_{q}")).read()
+                            for q in range(R)
+                        )
+                    except OSError:
+                        ports = "auto"  # died before the ready barrier
+                    procs[r] = subprocess.Popen(worker_cmd(r, ports, True))
+                else:
+                    rcs[r] = rc
         wall = time.perf_counter() - t0
         if any(rcs):
             print(f"worker exit codes: {rcs}", file=sys.stderr)
@@ -250,6 +292,18 @@ def main(argv=None):
     p.add_argument("--transport", choices=["local", "tcp"], default="local",
                    help="decentralized bus: in-process (local) or one "
                    "process per robot over real sockets (tcp)")
+    p.add_argument("--respawn", type=int, default=0,
+                   help="tcp mode: restart a crashed worker up to N times "
+                   "with --resume from its checkpoint (reference launch "
+                   "respawn=\"true\", single_ugv.launch:4)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="tcp mode: workers checkpoint every N fed frames "
+                   "(needed for --respawn to resume rather than restart "
+                   "from scratch)")
+    p.add_argument("--crash-robot", type=int, default=-1,
+                   help="FAULT INJECTION: which robot crashes (tcp tests)")
+    p.add_argument("--crash-after", type=int, default=0,
+                   help="FAULT INJECTION: crash after N fed frames")
     args = p.parse_args(argv)
 
     if args.transport == "tcp":

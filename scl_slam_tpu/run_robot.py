@@ -65,6 +65,16 @@ def main(argv=None):
                    "then-rebind TOCTOU window; single-machine runs only)")
     p.add_argument("--workdir", required=True,
                    help="shared dir for the barrier sentinel files")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint (runtime/checkpoint.py, atomic) every N "
+                   "fed frames to <workdir>/ckpt_<r>.npz; 0 disables")
+    p.add_argument("--resume", action="store_true",
+                   help="restore <workdir>/ckpt_<r>.npz if present and skip "
+                   "the frames already fed — the respawn path (reference "
+                   "launch respawn=\"true\", single_ugv.launch:4)")
+    p.add_argument("--crash-after", type=int, default=0,
+                   help="FAULT INJECTION (respawn tests): hard-exit rc=3 "
+                   "after feeding N frames; ignored under --resume")
     args = p.parse_args(argv)
 
     import jax
@@ -100,6 +110,17 @@ def main(argv=None):
     mapper.attach_bus(bus)
 
     wd = args.workdir
+    ckpt_path = os.path.join(wd, f"ckpt_{r}.npz")
+    start_at = 0
+    if args.resume and os.path.exists(ckpt_path):
+        from .runtime import checkpoint
+
+        checkpoint.load(mapper, ckpt_path)
+        # _frames_seen counts this robot's own fed frames (peer ingests
+        # don't touch it), so it is exactly the resume cursor. Frames fed
+        # after the checkpoint but before the crash are re-fed; peers
+        # drop the replayed descriptor indices as out-of-order dupes.
+        start_at = min(mapper._frames_seen, len(splits[r]))
     # barriers scale with fleet size: on TPU a cold-cache first
     # compile alone can take 10+ min, and robot r waits behind r-1
     # robots' full feeds
@@ -118,7 +139,8 @@ def main(argv=None):
         _wait_for(os.path.join(wd, f"fed_{r - 1}"), t_feed)
 
     intra = inter = 0
-    for k in splits[r]:
+    fed = 0
+    for k in splits[r][start_at:]:
         T = get_pose(k)
         pose = se3.Pose(
             jnp.asarray(T[:3, :3], jnp.float32),
@@ -130,7 +152,14 @@ def main(argv=None):
             info = mapper.spin_once()
             intra += bool(info.get("loop"))
             inter += bool(info.get("inter_loop"))
-    open(os.path.join(wd, f"fed_{r}"), "w").close()
+        fed += 1
+        if args.checkpoint_every and fed % args.checkpoint_every == 0:
+            from .runtime import checkpoint
+
+            checkpoint.save(mapper, ckpt_path)
+        if args.crash_after and not args.resume and fed >= args.crash_after:
+            os._exit(3)  # fault injection: simulated hard crash mid-feed
+    _publish(wd, f"fed_{r}")
 
     # all feeding done everywhere => no verification RPC can still arrive
     _wait_for(os.path.join(wd, f"fed_{R - 1}"), t_feed)

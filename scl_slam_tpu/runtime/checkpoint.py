@@ -27,9 +27,28 @@ def _flatten_state(state: MapperState) -> dict[str, np.ndarray]:
 
 
 def save(mapper: Mapper, path: str) -> None:
-    """Write a checkpoint (atomic: tmp + rename)."""
+    """Write a checkpoint (atomic: tmp + rename).
+
+    The snapshot is taken under the mapper's state lock so a bus-thread
+    peer ingest can't land between the state capture and the host-side
+    cursor capture (``_frames_seen``/``_keyframes``/``_evicted`` must
+    describe the same state the arrays do); the actual npz write happens
+    outside the lock.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = _flatten_state(mapper.state)
+    with mapper._state_lock:
+        arrays = _flatten_state(mapper.state)
+        meta = _capture_meta(mapper, arrays)
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
+    # np.savez appends .npz to names lacking it
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+
+
+def _capture_meta(mapper: Mapper, arrays: dict) -> dict:
+    with mapper._pending_loops_lock:  # serve thread appends concurrently
+        pending = list(mapper._pending_server_loops)
     meta = {
         "version": 1,
         "robot": mapper.robot,
@@ -52,6 +71,13 @@ def save(mapper: Mapper, path: str) -> None:
             ]
             for r, lst in mapper._evicted.items()
         },
+        # factors verified on the serve path but not yet drained into the
+        # device queue (see Mapper._pending_server_loops) — a crash between
+        # serve and drain must not lose the server-side factor copy
+        "pending_server_loops": [
+            [int(a), int(b), np.asarray(T).tolist(), float(nz)]
+            for a, b, T, nz in pending
+        ],
     }
     # FleetMapper adds host-side serving state: per-robot keyframe gates,
     # the verification RNG key, AND any keyframes staged (accepted by the
@@ -86,11 +112,7 @@ def save(mapper: Mapper, path: str) -> None:
             arrays["staged_stamp"] = np.asarray(
                 [s[3] for s in staged], np.float64
             )
-    tmp = path + ".tmp"
-    np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
-    # np.savez appends .npz to names lacking it
-    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
-    os.replace(actual_tmp, path)
+    return meta
 
 
 def load(mapper: Mapper, path: str) -> Mapper:
@@ -121,6 +143,11 @@ def load(mapper: Mapper, path: str) -> Mapper:
     # conservative: the crash may have interrupted an unqueried inter
     # detection — let the first spin_once after resume re-dispatch it
     mapper._inter_dirty = True
+    with mapper._pending_loops_lock:
+        mapper._pending_server_loops = [
+            (int(a), int(b), np.asarray(T, np.float64), float(nz))
+            for a, b, T, nz in meta.get("pending_server_loops", [])
+        ]
     mapper._evicted = {
         int(r): [
             {

@@ -1945,7 +1945,15 @@ class Mapper:
             cloud_mask=np.asarray(cloud_mask),
             cur_pose_est=cur_est,
         )
-        resp = self._bus.verify(robot_pre, req)
+        try:
+            resp = self._bus.verify(robot_pre, req)
+        except (OSError, ConnectionError, EOFError, TimeoutError):
+            # peer down (crashed / restarting): a failed verification RPC
+            # is a missed loop opportunity, not an error — the reference's
+            # ROS service call fails the same way under respawn and the
+            # caller just moves on. The freshness gate was already cleared,
+            # so this exact query is not re-dispatched until new data.
+            return None
         if not resp.success:
             return None
         z = se3.Pose(

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import se3, so3
+from ..ops import deskew as dsk
 from ..ops import pointcloud as pc
 from ..ops import registration as reg
 
@@ -35,6 +36,14 @@ class OdometryConfig(NamedTuple):
     max_corr_dist: float = 2.0
     normal_knn: int = 12
     insert_every: int = 1           # insert scan into the map every N frames
+    # motion compensation (ops/deskew.py; reference front ends all deskew,
+    # launch/single_ugv.launch:33-39): "none" assumes pre-deskewed input;
+    # "const" removes constant-twist motion (prediction- or gyro-seeded);
+    # "gyro" uses the gyro-integrated rotation trajectory when samples are
+    # provided (falls back to "const" otherwise). Per-point times come
+    # from azimuth (one revolution per sweep).
+    deskew: str = "none"
+    deskew_clockwise: bool = False  # spin direction for azimuth times
 
 
 class OdometryState(NamedTuple):
@@ -64,21 +73,45 @@ def odometry_step(
     mask: jax.Array,
     cfg: OdometryConfig,
     imu_delta_R: jax.Array | None = None,
+    gyro: jax.Array | None = None,
+    gyro_dt: jax.Array | None = None,
 ):
-    """One frame: predict, register, and merge into the local map.
+    """One frame: deskew, predict, register, and merge into the local map.
 
     ``imu_delta_R``: optional gyro-preintegrated rotation over the frame
     interval (see :mod:`.imu`) — replaces the rotational part of the
     constant-velocity prediction, which is where that model is weakest.
+    ``gyro``/``gyro_dt``: the interval's raw samples ([M, 3] body rates,
+    [M] spacings, dt<=0 pads ignored) — subsumes ``imu_delta_R`` (the
+    integrated rotation is a byproduct) and additionally drives
+    ``deskew="gyro"``'s rotation trajectory, all inside this one program.
     Returns (new_state, pose, fitness).
     """
-    scan = pc.voxel_downsample(pc.Cloud(xyz, mask), cfg.scan_leaf, cfg.scan_capacity)
-
     # constant-velocity prediction: pose * (prev_pose^-1 * pose); gyro
     # overrides the rotation when available
     vel = se3.between(state.prev_pose, state.pose)
+    sample_R = sample_tfrac = None
+    if gyro is not None:
+        sample_R, sample_tfrac = dsk.gyro_rotation_samples(gyro, gyro_dt)
+        if imu_delta_R is None:
+            imu_delta_R = sample_R[-1]
     if imu_delta_R is not None:
         vel = se3.Pose(imu_delta_R, vel.t)
+
+    # motion compensation on the RAW scan (before voxel binning: a
+    # smeared cloud bins differently), using the predicted sweep motion —
+    # the first frame has no motion estimate and skips (vel = identity)
+    if cfg.deskew != "none":
+        times = dsk.azimuth_sweep_times(xyz, mask, cfg.deskew_clockwise)
+        if cfg.deskew == "gyro" and sample_R is not None:
+            xyz = dsk.deskew_gyro(
+                xyz, mask, times, sample_R, sample_tfrac, vel.t
+            )
+        else:
+            xyz = dsk.deskew_constant_twist(xyz, mask, times, vel)
+
+    scan = pc.voxel_downsample(pc.Cloud(xyz, mask), cfg.scan_leaf, cfg.scan_capacity)
+
     pred = se3.compose(state.pose, vel)
     pred = se3.Pose(so3.orthonormalize(pred.R), pred.t)
 
@@ -170,17 +203,25 @@ class Odometry:
     ) -> tuple[se3.Pose, float]:
         """Register one scan; optional gyro samples (body rates [N,3] with
 
-        per-sample intervals [N]) seed the rotation prediction."""
+        per-sample intervals [N]) seed the rotation prediction and, with
+        ``cfg.deskew="gyro"``, drive the deskew rotation trajectory —
+        integrated inside the same jitted step (no extra dispatch)."""
         cloud = pc.from_points(xyz, self.cfg.scan_capacity * 2)
-        imu_delta_R = None
+        g = gdt = None
         if gyro is not None:
-            from .imu import gyro_delta_rotation
-
-            imu_delta_R = gyro_delta_rotation(
-                jnp.asarray(gyro, jnp.float32), jnp.asarray(imu_dt, jnp.float32)
-            )
+            # pad the sample axis to a multiple of 32: real IMU intervals
+            # vary sample-to-sample, and each distinct length would
+            # otherwise compile a fresh program (dt<=0 pads are ignored)
+            g = np.asarray(gyro, np.float32)
+            gdt = np.asarray(imu_dt, np.float32)
+            m = len(gdt)
+            pad = (-m) % 32 if m else 32
+            if pad:
+                g = np.concatenate([g, np.zeros((pad, 3), np.float32)])
+                gdt = np.concatenate([gdt, np.zeros(pad, np.float32)])
+            g, gdt = jnp.asarray(g), jnp.asarray(gdt)
         self.state, pose, fitness = odometry_step(
-            self.state, cloud.xyz, cloud.mask, self.cfg, imu_delta_R
+            self.state, cloud.xyz, cloud.mask, self.cfg, None, g, gdt
         )
         return pose, float(fitness)
 

@@ -36,3 +36,32 @@ def test_tcp_two_process_end_to_end(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "a_tum.txt"))
     if "figure" in report:
         assert os.path.exists(report["figure"])
+
+
+@pytest.mark.timeout(600)
+def test_tcp_respawn_resumes_crashed_worker(tmp_path, capsys):
+    """Elastic restart (reference launch respawn="true",
+    single_ugv.launch:4): robot 0 hard-crashes mid-feed (fault
+    injection); the supervisor respawns it with --resume from its
+    periodic checkpoint; the joint run still completes with a correct
+    joint map (same assertions as the crash-free run)."""
+    from scl_slam_tpu import run_multi
+
+    out = str(tmp_path / "tcp_respawn")
+    rc = run_multi.main([
+        "--robots", "2", "--frames", "60", "--transport", "tcp",
+        "--platform", "cpu", "--output", out,
+        "--respawn", "2", "--checkpoint-every", "5",
+        "--crash-robot", "0", "--crash-after", "12",
+    ])
+    captured = capsys.readouterr()
+    assert "respawn 1/2" in captured.err, captured.err[-2000:]
+    assert rc == 0, captured.err[-2000:]
+    report = json.loads(captured.out.strip().splitlines()[-1])
+    assert report["mode"] == "decentralized-tcp"
+    # the resumed robot 0 must have its FULL segment (35 frames of 60
+    # with the default 10-frame overlap => ~30+ raw frames; keyframe
+    # count just needs to show both pre- and post-crash frames present)
+    assert report["inter_loops"] >= 1, report
+    assert set(report["ate_rmse_m"]) == {"a", "b"}
+    assert all(v < 1.0 for v in report["ate_rmse_m"].values()), report
