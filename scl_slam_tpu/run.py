@@ -58,6 +58,13 @@ def build_argparser():
                    "synthetic icp/imu use >= ~60 frames: below that the "
                    "10 m radius floor widens frame spacing past the ICP "
                    "correspondence gate (63 frames: ATE 0.30 m, 23 loops)")
+    p.add_argument("--deskew", choices=["none", "const", "gyro"],
+                   default="none",
+                   help="motion compensation in the icp/imu front end "
+                   "(ops/deskew.py): const = constant-twist from the "
+                   "motion prediction; gyro = gyro-integrated rotation "
+                   "trajectory (imu mode). The synthetic worlds render "
+                   "unskewed scans — use with real spinning-LiDAR data")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=0, metavar="B",
                    help="replay mode: process frames through the macro-"
@@ -326,16 +333,18 @@ def main(argv=None):
     odo = None
     fused = None
     if args.odometry == "icp":
-        from .runtime.odometry import Odometry
+        from .runtime.odometry import Odometry, OdometryConfig
 
-        odo = Odometry()
+        odo = Odometry(OdometryConfig(deskew=args.deskew))
     elif args.odometry == "imu":
         from .runtime import imu as imu_mod
-        from .runtime.odometry import ImuFusedOdometry
+        from .runtime.odometry import ImuFusedOdometry, OdometryConfig
 
         # 6-node window / 32-sample intervals: at keyframe cadence a longer
         # window adds nothing measurable, and the jacfwd cost scales with both
-        fused = ImuFusedOdometry(window=6, max_samples=32)
+        fused = ImuFusedOdometry(
+            OdometryConfig(deskew=args.deskew), window=6, max_samples=32
+        )
 
     if args.batch:
         if args.odometry != "gt":

@@ -109,7 +109,10 @@ def main():
     scene = UrbanScene(seed=7, blocks=1, block_size=40.0)
     azimuth = 512 if args.quick else args.azimuth
     sim = LidarSim(scene, n_azimuth=azimuth)
-    laps = [0.0] if args.quick else [0.0, 2.0, 1.0]
+    # 6 lane-offset laps of the ~208-pose circuit = 1,248 keyframes; the
+    # later laps revisit every earlier lane (loop-dense) and run past the
+    # 1,024 capacity (live eviction)
+    laps = [0.0] if args.quick else [0.0, 2.0, 1.0, 3.0, 0.5, 2.5]
     gt = build_gt(scene, laps)
     odom = drift_odometry(gt)
     n = len(gt)
