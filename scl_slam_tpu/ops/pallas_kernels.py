@@ -219,11 +219,62 @@ def _nn_select_batched_kernel(
         sel_ref[0] = jnp.where(take[None, :], sel_tile, sel_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _nn_select_batched_mineq_kernel(
+    active_ref, q_ref, t_ref, d_ref, sel_ref, *, tq: int, tt: int
+):
+    """:func:`_nn_select_batched_kernel` with the cheaper r5 selection.
+
+    Selection = EQUALITY one-hot against the tile min (no argmin pass, no
+    iota compare), count-normalized so exact-d2 ties average their rows:
+    identical coordinates for pad-column ties, same-distance points
+    otherwise (validity averages to 1 iff all tied rows are valid — a
+    valid/pad tie cannot occur inside the correspondence gate). Measured
+    r5 on v5e at 32x1024x8192: 2.10 -> 1.58 ms/pass (1.33x) with
+    bit-exact outputs (scripts/profile_icp_kernel_variants.py); +3.3%
+    end-to-end on the interleaved in-chunk A/B (1570 vs 1520 frames/s,
+    scripts/profile_select_mineq_ab.py — the chunk's ICP share includes
+    while-loop glue the kernel win doesn't touch).
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        d_ref[0, 0, :] = jnp.full((tq,), jnp.inf, jnp.float32)
+        sel_ref[0] = jnp.zeros_like(sel_ref[0])
+
+    @pl.when(active_ref[b] != 0)
+    def _():
+        q = q_ref[0]
+        t = t_ref[0]
+        d2 = jnp.zeros((tq, tt), jnp.float32)
+        for c in range(3):
+            qc = q[c].reshape(tq, 1)
+            tc = t[c].reshape(1, tt)
+            diff = qc - tc
+            d2 = d2 + diff * diff
+        tile_best = jnp.min(d2, axis=1)
+        one_hot = (d2 == tile_best[:, None]).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(one_hot, axis=1), 1.0)
+        sel_tile = jax.lax.dot_general(
+            t,
+            one_hot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) / cnt[None, :]                                # [P, tq]
+        prev_d = d_ref[0, 0, :]
+        take = tile_best < prev_d
+        d_ref[0, 0, :] = jnp.where(take, jnp.maximum(tile_best, 0.0), prev_d)
+        sel_ref[0] = jnp.where(take[None, :], sel_tile, sel_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "interpret"))
 def nn_select_batched_pallas(
     query: jax.Array,
     payload: jax.Array,
     active: jax.Array,
+    variant: str = "mineq",
     interpret: bool = False,
 ):
     """Per-lane-predicated batched 1-NN + payload selection.
@@ -231,6 +282,9 @@ def nn_select_batched_pallas(
     query [B, Nq, 3]; payload [B, P, Nt] (rows 0-2 per lane = target xyz);
     active [B] (int32/bool) — inactive lanes skip all compute and return
     (inf distances, zero payload). Returns (sq_dist [B, Nq], sel [B, P, Nq]).
+    ``variant``: "mineq" (default — equality-one-hot selection, no
+    argmin/iota; r5 kernel A/B 1.33x bit-exact, in-chunk +3.3%:
+    scripts/profile_select_mineq_ab.py) or "argmin" (the r4 baseline).
     """
     Bn, nq = query.shape[0], query.shape[1]
     P, nt = payload.shape[1], payload.shape[2]
@@ -243,9 +297,11 @@ def nn_select_batched_pallas(
         ],
         axis=1,
     )                                                           # [B, 4, Nq]
+    kern = {"argmin": _nn_select_batched_kernel,
+            "mineq": _nn_select_batched_mineq_kernel}[variant]
 
     d, sel = pl.pallas_call(
-        functools.partial(_nn_select_batched_kernel, tq=TQ, tt=tt),
+        functools.partial(kern, tq=TQ, tt=tt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Bn, nq // TQ, nt // tt),
@@ -623,8 +679,91 @@ def _icp_moments_kernel(
             m_ref[0, 0, :] = m_ref[0, 0, :] + vec
 
 
+def _icp_moments_mineq_kernel(
+    active_ref, q_ref, t_ref, p_ref, m_ref, d_s, sel_s,
+    *, tq: int, tt: int, maxd2: float,
+):
+    """Same contract as :func:`_icp_moments_kernel`, cheaper selection.
+
+    The baseline pays min + argmin + iota-compare + one-hot convert per
+    tile to select the winner's payload. Here selection is a pure
+    EQUALITY one-hot against the tile min — no argmin pass, no iota —
+    with a count reduction so exact-d2 ties average their (identical or
+    equidistant) rows instead of double-counting; pad-column ties zero
+    out through the validity row. Measured r5 on v5e at 32x1024x8192:
+    2.10 -> 1.58 ms/pass with BIT-EXACT moments vs the baseline kernel
+    (scripts/profile_icp_kernel_variants.py); the select-kernel twin of
+    this selection won +3.3% end-to-end in the interleaved in-chunk A/B
+    (scripts/profile_select_mineq_ab.py).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        m_ref[0] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        d_s[0, :] = jnp.full((tq,), jnp.inf, jnp.float32)
+        sel_s[:, :] = jnp.zeros_like(sel_s)
+
+    @pl.when(active_ref[b] != 0)
+    def _():
+        q = q_ref[0]                                   # [4, tq] local
+        p = p_ref[0, 0]                                # [128]
+        sx = p[0] * q[0] + p[1] * q[1] + p[2] * q[2] + p[9]
+        sy = p[3] * q[0] + p[4] * q[1] + p[5] * q[2] + p[10]
+        sz = p[6] * q[0] + p[7] * q[1] + p[8] * q[2] + p[11]
+
+        t = t_ref[0]                                   # [4, tt]
+        d2 = jnp.zeros((tq, tt), jnp.float32)
+        for c, qc in enumerate((sx, sy, sz)):
+            diff = qc.reshape(tq, 1) - t[c].reshape(1, tt)
+            d2 = d2 + diff * diff
+        tile_best = jnp.min(d2, axis=1)
+        one_hot = (d2 == tile_best[:, None]).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(one_hot, axis=1), 1.0)
+        sel_tile = jax.lax.dot_general(
+            t,
+            one_hot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) / cnt[None, :]                                # [4, tq]
+        prev_d = d_s[0, :]
+        take = tile_best < prev_d
+        d_s[0, :] = jnp.where(take, jnp.maximum(tile_best, 0.0), prev_d)
+        sel_s[:, :] = jnp.where(take[None, :], sel_tile, sel_s[:, :])
+
+        @pl.when(j == nj - 1)
+        def _():
+            d2b = d_s[0, :]
+            smask = q[3] > 0.5
+            good = smask & (sel_s[3, :] > 0.5) & (d2b < maxd2)
+            w = good.astype(jnp.float32)
+            dx, dy, dz = sel_s[0, :], sel_s[1, :], sel_s[2, :]
+            vals = [
+                jnp.sum(w),
+                jnp.sum(w * sx), jnp.sum(w * sy), jnp.sum(w * sz),
+                jnp.sum(w * dx), jnp.sum(w * dy), jnp.sum(w * dz),
+                jnp.sum(w * sx * dx), jnp.sum(w * sx * dy), jnp.sum(w * sx * dz),
+                jnp.sum(w * sy * dx), jnp.sum(w * sy * dy), jnp.sum(w * sy * dz),
+                jnp.sum(w * sz * dx), jnp.sum(w * sz * dy), jnp.sum(w * sz * dz),
+                jnp.sum(jnp.where(good, d2b, 0.0)),
+                jnp.sum(smask.astype(jnp.float32)),
+            ]
+            vec = jnp.concatenate(
+                [v.reshape(1) for v in vals]
+                + [jnp.zeros((128 - M_SLOTS,), jnp.float32)]
+            )
+            m_ref[0, 0, :] = m_ref[0, 0, :] + vec
+
+
 @functools.partial(
-    jax.jit, static_argnames=("max_corr_dist", "interpret")
+    jax.jit, static_argnames=("max_corr_dist", "variant", "interpret")
 )
 def icp_moments_batched_pallas(
     src4: jax.Array,        # [B, 4, Nq] local xyz rows + validity row
@@ -632,19 +771,27 @@ def icp_moments_batched_pallas(
     pose_rows: jax.Array,   # [B, 128] R row-major 0:9, t 9:12
     active: jax.Array,      # [B]
     max_corr_dist: float,
+    variant: str = "mineq",
     interpret: bool = False,
 ) -> jax.Array:
     """One fused ICP iteration pass. Returns [B, 128] moment vectors
-    (layout: module constants M_*). Inactive lanes return zeros."""
+    (layout: module constants M_*). Inactive lanes return zeros.
+
+    ``variant``: ``"mineq"`` (default — equality-one-hot selection, no
+    argmin/iota passes; r5 A/B: 1.33x the baseline kernel with bit-exact
+    moments, +3.3% end-to-end) or ``"argmin"`` (the r4 baseline,
+    kept as the A/B reference)."""
     Bn, _, nq = src4.shape
     nt = payload.shape[2]
     tt = pick_target_tile(nt)
     assert nq % TQ == 0 and tt is not None, (nq, nt)
     pose8 = jnp.zeros((Bn, 8, 128), jnp.float32).at[:, 0, :].set(pose_rows)
+    kern = {"argmin": _icp_moments_kernel,
+            "mineq": _icp_moments_mineq_kernel}[variant]
 
     m = pl.pallas_call(
         functools.partial(
-            _icp_moments_kernel, tq=TQ, tt=tt,
+            kern, tq=TQ, tt=tt,
             maxd2=float(max_corr_dist) ** 2,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(

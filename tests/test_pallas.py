@@ -159,6 +159,12 @@ class TestNNSelectPallas:
                 # inactive lane: untouched init values
                 assert np.all(np.isinf(np.asarray(d[b])))
                 np.testing.assert_array_equal(np.asarray(sel[b]), 0.0)
+        # the r5 mineq selection variant: identical outputs, fewer passes
+        d2_, sel2 = nn_select_batched_pallas(
+            q, payload, active, variant="argmin", interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d2_))
+        np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel2))
 
 
 class TestMaxImagePallas:
@@ -257,6 +263,27 @@ class TestICPMomentsFused:
         assert rel.max() < 1e-5
         assert np.abs(np.asarray(m_pal)[2]).max() == 0.0  # inactive lane
 
+    def test_mineq_variant_matches_argmin(self):
+        """The r5 equality-one-hot selection (no argmin/iota passes) must
+        reproduce the baseline kernel's moments exactly (selection ties
+        only occur between identical pad rows, which average to
+        themselves)."""
+        from scl_slam_tpu.ops import pallas_kernels as pk
+
+        src4, payload, pose_rows = self._inputs()
+        active = jnp.asarray([1, 1, 0], jnp.int32)
+        m_arg = pk.icp_moments_batched_pallas(
+            jnp.asarray(src4), jnp.asarray(payload),
+            jnp.asarray(pose_rows), active, 5.0,
+            variant="argmin", interpret=True,
+        )
+        m_meq = pk.icp_moments_batched_pallas(
+            jnp.asarray(src4), jnp.asarray(payload),
+            jnp.asarray(pose_rows), active, 5.0,
+            variant="mineq", interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(m_arg), np.asarray(m_meq))
+
     def test_fused_stage_matches_selection_stage(self, monkeypatch):
         """The fused moments-based ICP stage converges to the same pose and
         fitness as the selection-based stage (bit-identical semantics up to
@@ -273,7 +300,7 @@ class TestICPMomentsFused:
         monkeypatch.setattr(
             pk,
             "icp_moments_batched_pallas",
-            lambda s4, p4, pr, a, mcd, interpret=False: (
+            lambda s4, p4, pr, a, mcd, variant="mineq", interpret=False: (
                 pk.icp_moments_reference(s4, p4, pr, a.astype(bool), mcd)
             ),
         )
@@ -315,7 +342,7 @@ class TestICPMomentsFused:
         monkeypatch.setattr(
             pk,
             "icp_moments_batched_pallas",
-            lambda s4, p4, pr, a, mcd, interpret=False: (
+            lambda s4, p4, pr, a, mcd, variant="mineq", interpret=False: (
                 pk.icp_moments_reference(s4, p4, pr, a.astype(bool), mcd)
             ),
         )

@@ -50,10 +50,13 @@ class TestLocalBus:
 
 class TestTcpBus:
     def test_roundtrip_over_sockets(self):
-        ports = {0: 47311, 1: 47312}
-        peers = {r: ("127.0.0.1", p) for r, p in ports.items()}
-        bus0 = TcpBus(0, ports[0], peers)
-        bus1 = TcpBus(1, ports[1], peers)
+        # OS-assigned ports + late peers assignment (the auto-port flow
+        # run_robot uses): fixed ports collided with concurrent suites
+        bus0 = TcpBus(0, 0, {})
+        bus1 = TcpBus(1, 0, {})
+        peers = {0: ("127.0.0.1", bus0.port), 1: ("127.0.0.1", bus1.port)}
+        bus0.peers = peers
+        bus1.peers = peers
         got1 = []
         bus0.register(0, lambda m: None, lambda req: VerifyResponse(False, None, 0.0))
         bus1.register(
