@@ -67,24 +67,40 @@ key = jax.random.PRNGKey(0)
 
 
 def timed(label, fn, probe):
-    """Chained marginal of fn(src) with a non-decomposable varying src."""
-    f = jax.jit(fn)
-    out = f(src0)
-    jax.block_until_ready(out)
-    _ = np.asarray(probe(out)).ravel()[:1]
-    best = 1e9
-    for _ in range(3):
+    """Chain-subtracted marginal with the chain INSIDE one program.
+
+    Python-level chaining of separate dispatches pays the tunneled
+    runtime's ~1-3 ms per-program floor per link even when pipelined
+    (CLAUDE.md) — a first cut of this script measured exactly that
+    (4.6 ms/call for a ~1 ms kernel). lax.scan keeps all links in one
+    program; the sin() wrap keeps the varying operand non-decomposable.
+    """
+    def chain(L):
+        @jax.jit
+        def run():
+            def one(c, _):
+                s = src0 + 0.01 * jnp.sin(c)
+                out = fn(s)
+                lead = probe(out).astype(jnp.float32).ravel()[0]
+                return c + lead * 1e-12, lead
+            cf, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=L)
+            return cf
+        return run
+
+    lens, reps = (4, 16), 6
+    ts = {}
+    for L in lens:
+        f = chain(L)
+        out = f()
+        jax.block_until_ready(out)
+        _ = np.asarray(out)
         t0 = time.perf_counter()
-        s = src0
-        o = None
-        for i in range(args.chain):
-            o = f(s)
-            # sin() wrap: an additive perturbation would let XLA hoist
-            # the invariant heavy pass (CLAUDE.md microbench trap)
-            s = src0 + 0.01 * jnp.sin(probe(o).astype(jnp.float32).ravel()[0])
-        _ = np.asarray(probe(o)).ravel()[:1]
-        best = min(best, (time.perf_counter() - t0) / args.chain)
-    print(f"{label:34s} {best * 1e3:8.3f} ms/call", flush=True)
+        for _ in range(reps):
+            out = f()
+        _ = np.asarray(out)
+        ts[L] = (time.perf_counter() - t0) / reps
+    best = (ts[lens[1]] - ts[lens[0]]) / (lens[1] - lens[0])
+    print(f"{label:34s} {best * 1e3:8.3f} ms/call (marginal)", flush=True)
     return best
 
 
