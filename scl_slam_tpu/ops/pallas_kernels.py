@@ -852,6 +852,80 @@ def icp_moments_reference(src4, payload, pose_rows, active, max_corr_dist):
 
 
 # ---------------------------------------------------------------------------
+# Fused RANSAC hypothesis scoring (inlier counts, no [B, H, N] transients)
+# ---------------------------------------------------------------------------
+
+
+def _ransac_counts_kernel(q_ref, m_ref, h_ref, out_ref, *, hb, thr2):
+    """Grid (B, H // hb). Per step: ``hb`` hypotheses' inlier counts over
+    the whole correspondence set of one lane.
+
+    q_ref [1, 4, N]: source xyz rows + combined-validity row (``good``).
+    m_ref [1, 4, N]: matched-target xyz rows (+ padding row).
+    h_ref [1, hb, 128]: hypothesis pose rows (R row-major 0:9, t 9:12).
+    out_ref [1, hb, 128]: counts in lane 0 of each row.
+
+    The XLA scoring slab materializes [B, hyp_chunk, N] transforms and
+    residuals in HBM (measured HBM-bound at ~6.3 us/hypothesis,
+    scripts/profile_ransac_roofline.py); here each hypothesis is a
+    register-resident vector pass over the lane's [4, N] tiles — the
+    same structure as the ICP moments kernel's pose transform.
+    """
+    q = q_ref[0]                                    # [4, N]
+    mt = m_ref[0]                                   # [4, N]
+    valid = q[3] > 0.5
+    counts = []
+    for h in range(hb):
+        p = h_ref[0, h]
+        mx = p[0] * q[0] + p[1] * q[1] + p[2] * q[2] + p[9]
+        my = p[3] * q[0] + p[4] * q[1] + p[5] * q[2] + p[10]
+        mz = p[6] * q[0] + p[7] * q[1] + p[8] * q[2] + p[11]
+        dx = mx - mt[0]
+        dy = my - mt[1]
+        dz = mz - mt[2]
+        res2 = dx * dx + dy * dy + dz * dz
+        counts.append(
+            jnp.sum(jnp.where(valid & (res2 < thr2), 1.0, 0.0))
+        )
+    vec = jnp.stack(counts)                          # [hb]
+    lane0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (hb, 128), 1) == 0
+    ).astype(jnp.float32)
+    out_ref[0] = vec[:, None] * lane0
+
+
+@functools.partial(jax.jit, static_argnames=("thr2", "interpret"))
+def ransac_counts_batched_pallas(
+    src4: jax.Array,       # [B, 4, N] source xyz rows + good row
+    matched4: jax.Array,   # [B, 4, N] matched xyz rows (+ padding row)
+    hyp_rows: jax.Array,   # [B, H, 128] pose rows (R 0:9, t 9:12)
+    thr2: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Inlier counts [B, H] (int32) for every hypothesis."""
+    Bn, _, n = src4.shape
+    H = hyp_rows.shape[1]
+    hb = 8
+    assert H % hb == 0 and n % 128 == 0, (H, n)
+    out = pl.pallas_call(
+        functools.partial(_ransac_counts_kernel, hb=hb, thr2=float(thr2)),
+        grid=(Bn, H // hb),
+        in_specs=[
+            pl.BlockSpec((1, 4, n), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, 4, n), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, hb, 128), lambda b, h: (b, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb, 128), lambda b, h: (b, h, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bn, H, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(src4, matched4, hyp_rows)
+    return out[:, :, 0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Fused separable max-binning (Scan Context image construction)
 # ---------------------------------------------------------------------------
 

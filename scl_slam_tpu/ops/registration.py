@@ -263,6 +263,20 @@ NN_INDEX = False
 # frames/s, every rep ordered (scripts/profile_select_mineq_ab.py;
 # docs/roofline.md).
 SELECT_VARIANT = "mineq"
+# fused Pallas RANSAC hypothesis scoring (r5): counts computed as
+# register-resident vector passes instead of the XLA [B, Hc, N] HBM
+# slab, which the standalone roofline measured HBM-bound at ~6.3
+# us/hypothesis (docs/roofline.md RANSAC section). Default OFF: the
+# interleaved fleet-step A/B measured it 6% SLOWER end-to-end (1251 vs
+# 1333 frames/s, every rep ordered, results exactly equal —
+# scripts/profile_ransac_scoring_ab.py). Inside the big fused fleet
+# program XLA pipelines the slab's HBM traffic behind other phases,
+# while the kernel's (B, H/8) grid of short [4, N]-vector steps pays
+# per-step overhead the standalone marginal hid — the same
+# kernel-wins/chunk-loses shape as the r4 NN index+gather rejection.
+# Kept for shapes where the slab genuinely thrashes (H*N >> VMEM-scale,
+# e.g. reference-style H=1000-2000 at larger N).
+RANSAC_FUSED_SCORING = False
 
 # Hopeless-lane exit: a lane whose updates have stalled AND whose current
 # mean-square correspondence distance is still HOPELESS_MARGIN x the
@@ -1115,43 +1129,69 @@ def ransac_align_batched(
         hyp = kabsch(src_s, dst_s, jnp.ones(samples.shape, dtype))
         hyp_ok = jnp.ones(samples.shape[:2], bool)
 
-    # score hypotheses in chunks: counts only (the winner's inlier set is
-    # recomputed below), so the [B, Hc, N] transient stays bounded. When
-    # hyp_chunk doesn't divide H, fall back to H's largest divisor <=
-    # hyp_chunk — the bound must hold for ANY num_hypotheses (e.g. a
-    # reference-style ransac_max_iter=1000), not just powers of two
-    Hc = hyp_chunk if H % hyp_chunk == 0 else max(
-        d for d in range(1, min(hyp_chunk, H) + 1) if H % d == 0
-    )
     thr2 = inlier_thresh * inlier_thresh
-    sx, sy, sz = (source.xyz[..., i] for i in range(3))        # [B, N] each
+    fused_scoring = (
+        RANSAC_FUSED_SCORING
+        and jax.default_backend() != "cpu"
+        and H % 8 == 0
+        and n % 128 == 0
+    )
+    if fused_scoring:
+        # fused Pallas scoring: each hypothesis is a register-resident
+        # vector pass; the XLA slab path below materializes [B, Hc, N]
+        # transforms/residuals in HBM and measured HBM-bound at
+        # ~6.3 us/hypothesis (scripts/profile_ransac_roofline.py)
+        from . import pallas_kernels as pk
 
-    def chunk_counts(Rt):
-        Rc, tc = Rt                                # [B, Hc, 3, 3], [B, Hc, 3]
-        # direct per-coordinate form (exact f32, no K=3 MXU padding or
-        # 6-pass precision=highest cost — see CLAUDE.md precision note)
-        res2 = 0.0
-        for i in range(3):
-            mi = (
-                Rc[..., i, 0][:, :, None] * sx[:, None, :]
-                + Rc[..., i, 1][:, :, None] * sy[:, None, :]
-                + Rc[..., i, 2][:, :, None] * sz[:, None, :]
-                + tc[..., i][:, :, None]
-            )
-            res2 = res2 + jnp.square(mi - matched[..., i][:, None, :])
-        return jnp.sum(
-            (res2 < thr2) & good[:, None, :], axis=-1
-        ).astype(jnp.int32)                        # [B, Hc]
+        src4 = jnp.concatenate(
+            [jnp.swapaxes(source.xyz, -1, -2),
+             good[:, None, :].astype(dtype)], axis=1)           # [B, 4, N]
+        mt4 = jnp.concatenate(
+            [jnp.swapaxes(matched, -1, -2),
+             jnp.zeros((B, 1, n), dtype)], axis=1)
+        hyp_rows = (
+            jnp.zeros((B, H, 128), jnp.float32)
+            .at[:, :, 0:9].set(hyp.R.reshape(B, H, 9))
+            .at[:, :, 9:12].set(hyp.t)
+        )
+        counts = pk.ransac_counts_batched_pallas(src4, mt4, hyp_rows, thr2)
+    else:
+        # score hypotheses in chunks: counts only (the winner's inlier
+        # set is recomputed below), so the [B, Hc, N] transient stays
+        # bounded. When hyp_chunk doesn't divide H, fall back to H's
+        # largest divisor <= hyp_chunk — the bound must hold for ANY
+        # num_hypotheses (e.g. a reference-style ransac_max_iter=1000)
+        Hc = hyp_chunk if H % hyp_chunk == 0 else max(
+            d for d in range(1, min(hyp_chunk, H) + 1) if H % d == 0
+        )
+        sx, sy, sz = (source.xyz[..., i] for i in range(3))    # [B, N] each
 
-    nchunks = H // Hc
-    counts = jax.lax.map(
-        chunk_counts,
-        (
-            jnp.moveaxis(hyp.R.reshape(B, nchunks, Hc, 3, 3), 1, 0),
-            jnp.moveaxis(hyp.t.reshape(B, nchunks, Hc, 3), 1, 0),
-        ),
-    )                                              # [nchunks, B, Hc]
-    counts = jnp.moveaxis(counts, 0, 1).reshape(B, H)
+        def chunk_counts(Rt):
+            Rc, tc = Rt                            # [B, Hc, 3, 3], [B, Hc, 3]
+            # direct per-coordinate form (exact f32, no K=3 MXU padding or
+            # 6-pass precision=highest cost — see CLAUDE.md precision note)
+            res2 = 0.0
+            for i in range(3):
+                mi = (
+                    Rc[..., i, 0][:, :, None] * sx[:, None, :]
+                    + Rc[..., i, 1][:, :, None] * sy[:, None, :]
+                    + Rc[..., i, 2][:, :, None] * sz[:, None, :]
+                    + tc[..., i][:, :, None]
+                )
+                res2 = res2 + jnp.square(mi - matched[..., i][:, None, :])
+            return jnp.sum(
+                (res2 < thr2) & good[:, None, :], axis=-1
+            ).astype(jnp.int32)                    # [B, Hc]
+
+        nchunks = H // Hc
+        counts = jax.lax.map(
+            chunk_counts,
+            (
+                jnp.moveaxis(hyp.R.reshape(B, nchunks, Hc, 3, 3), 1, 0),
+                jnp.moveaxis(hyp.t.reshape(B, nchunks, Hc, 3), 1, 0),
+            ),
+        )                                          # [nchunks, B, Hc]
+        counts = jnp.moveaxis(counts, 0, 1).reshape(B, H)
     counts = jnp.where(hyp_ok, counts, -1)
     best = jnp.argmax(counts, axis=-1)             # [B]
     bidx = jnp.arange(B)

@@ -1,4 +1,6 @@
 """Pallas kernel tests (interpreter mode — CI runs on CPU)."""
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -481,3 +483,88 @@ class TestNNIndexBatched:
         np.testing.assert_array_equal(
             np.asarray(jnp.argmin(d2, axis=-1)), np.asarray(idx)
         )
+
+
+class TestRansacCountsKernel:
+    """Fused RANSAC hypothesis scoring (r5): counts must match the
+    materialized-slab reference exactly (same f32 residual form)."""
+
+    def test_counts_match_reference(self):
+        from scl_slam_tpu.ops import pallas_kernels as pk
+
+        rng = np.random.RandomState(11)
+        B, H, N = 3, 16, 256
+        src = rng.normal(size=(B, N, 3)).astype(np.float32) * 10
+        good = rng.rand(B, N) > 0.2
+        mt = (src + rng.normal(size=(B, N, 3)) * 0.3).astype(np.float32)
+        R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, H, 3, 3))
+        t = rng.normal(size=(B, H, 3)).astype(np.float32) * 0.2
+        thr2 = 0.25
+        src4 = jnp.concatenate(
+            [jnp.swapaxes(jnp.asarray(src), -1, -2),
+             jnp.asarray(good)[:, None, :].astype(jnp.float32)], axis=1)
+        mt4 = jnp.concatenate(
+            [jnp.swapaxes(jnp.asarray(mt), -1, -2),
+             jnp.zeros((B, 1, N), jnp.float32)], axis=1)
+        rows = (
+            jnp.zeros((B, H, 128), jnp.float32)
+            .at[:, :, 0:9].set(jnp.asarray(R.reshape(B, H, 9)))
+            .at[:, :, 9:12].set(jnp.asarray(t))
+        )
+        counts = pk.ransac_counts_batched_pallas(
+            src4, mt4, rows, thr2, interpret=True
+        )
+        moved = np.einsum("bhij,bnj->bhni", R, src) + t[:, :, None, :]
+        res2 = np.sum((moved - mt[:, None]) ** 2, -1)
+        want = np.sum((res2 < thr2) & good[:, None, :], -1)
+        np.testing.assert_array_equal(np.asarray(counts), want)
+
+    def test_ransac_align_batched_paths_agree(self, monkeypatch):
+        """Full ransac_align_batched: fused-scoring and slab paths give
+        the same accept decisions and ratios (CPU: fused path exercised
+        via a monkeypatched backend + interpret kernel)."""
+        from scl_slam_tpu.ops import pallas_kernels as pk
+        from scl_slam_tpu.ops import registration as reg
+        from scl_slam_tpu.ops.pointcloud import Cloud
+
+        rng = np.random.RandomState(12)
+        B, N, M = 4, 256, 1024
+        base = rng.uniform(-30, 30, (B, M, 3)).astype(np.float32)
+        source = Cloud(
+            jnp.asarray(base[:, :N] + rng.normal(0, 0.05, (B, N, 3))
+                        .astype(np.float32)),
+            jnp.ones((B, N), bool),
+        )
+        target = Cloud(jnp.asarray(base), jnp.ones((B, M), bool))
+        active = jnp.asarray([True, True, True, False])
+        key = jax.random.PRNGKey(5)
+
+        def run():
+            return reg.ransac_align_batched(
+                source, target, key, active, num_hypotheses=32,
+                inlier_thresh=0.25, min_inlier_ratio=0.45,
+            )
+
+        monkeypatch.setattr(reg, "RANSAC_FUSED_SCORING", False)
+        a = run()
+        monkeypatch.setattr(reg, "RANSAC_FUSED_SCORING", True)
+        monkeypatch.setattr(
+            reg.jax, "default_backend", lambda: "tpu", raising=False
+        )
+        # every Pallas call on the faked-TPU backend must run interpreted
+        monkeypatch.setattr(
+            pk, "ransac_counts_batched_pallas",
+            functools.partial(pk.ransac_counts_batched_pallas,
+                              interpret=True),
+        )
+        monkeypatch.setattr(
+            pk, "nn_select_batched_pallas",
+            functools.partial(pk.nn_select_batched_pallas, interpret=True),
+        )
+        b = run()
+        np.testing.assert_array_equal(np.asarray(a.success),
+                                      np.asarray(b.success))
+        np.testing.assert_allclose(np.asarray(a.inlier_ratio),
+                                   np.asarray(b.inlier_ratio), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.pose.t),
+                                   np.asarray(b.pose.t), atol=1e-4)
