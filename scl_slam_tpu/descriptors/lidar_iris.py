@@ -112,6 +112,67 @@ def make(cloud: Cloud, cfg: LidarIrisConfig) -> Iris:
 
 
 # ---------------------------------------------------------------------------
+# DFT backend: matmul-DFT on TPU, jnp.fft elsewhere
+# ---------------------------------------------------------------------------
+#
+# The iris sizes (80 rows, 360 cols) are non-powers-of-two: XLA lowers
+# their FFTs to Bluestein custom calls, and the COMPOSED batched match
+# program (B queries x num_candidates x ~10 FFT stages) exceeds the
+# remote compile service's envelope on this rig (two ~35-min compile
+# deaths at B>=16; CLAUDE.md r5 gotcha) while the per-query program runs
+# dispatch-width-starved (31.8 ms/query measured). A dense DFT is a
+# [n, n] complex matmul — MXU-shaped, compiles in seconds, batches
+# cleanly, and at 80x360 costs ~76 MFLOP per 2-D transform (minutes
+# below MXU speed-of-light). Under the package's
+# jax_default_matmul_precision=highest the numerics are f32-exact
+# matmuls; tests pin equality with the jnp.fft path.
+#
+# MATMUL_DFT: None = auto (matmul on non-CPU backends), True/False force.
+MATMUL_DFT: bool | None = None
+
+
+def _matmul_dft() -> bool:
+    if MATMUL_DFT is not None:
+        return MATMUL_DFT
+    return jax.default_backend() != "cpu"
+
+
+def _dft_w(n: int, inverse: bool) -> jax.Array:
+    k = jnp.arange(n, dtype=jnp.float32)
+    ang = (2.0 * jnp.pi / n) * jnp.outer(k, k)
+    w = jax.lax.complex(jnp.cos(ang), jnp.sin(ang) * (1.0 if inverse else -1.0))
+    return w / n if inverse else w
+
+
+def _fft1(x: jax.Array) -> jax.Array:
+    """DFT along the last axis."""
+    if not _matmul_dft():
+        return jnp.fft.fft(x, axis=-1)
+    return x.astype(jnp.complex64) @ _dft_w(x.shape[-1], False)
+
+
+def _ifft1(x: jax.Array) -> jax.Array:
+    if not _matmul_dft():
+        return jnp.fft.ifft(x, axis=-1)
+    return x.astype(jnp.complex64) @ _dft_w(x.shape[-1], True)
+
+
+def _fft2(x: jax.Array) -> jax.Array:
+    """2-D DFT of the trailing two axes: W_M @ x @ W_N (W symmetric)."""
+    if not _matmul_dft():
+        return jnp.fft.fft2(x)
+    M, N = x.shape[-2], x.shape[-1]
+    return _dft_w(M, False) @ x.astype(jnp.complex64) @ _dft_w(N, False)
+
+
+def _ifft2(x: jax.Array) -> jax.Array:
+    if not _matmul_dft():
+        return jnp.fft.ifft2(x)
+    M, N = x.shape[-2], x.shape[-1]
+    return _dft_w(M, True) @ x.astype(jnp.complex64) @ _dft_w(N, True)
+
+
+# ---------------------------------------------------------------------------
 # binary feature encoding (one-sided log-Gabor bank)
 # ---------------------------------------------------------------------------
 
@@ -151,8 +212,8 @@ def encode_features(image: jax.Array, cfg: LidarIrisConfig):
     ``descriptor.h:663-683``). T: [nscale, rows, cols, 2] quadrature bits;
     M: [nscale, rows, cols] low-energy mask (True = unreliable)."""
     bank = log_gabor_bank(cfg)                      # [S, C]
-    spec = jnp.fft.fft(image, axis=-1)              # [R, C]
-    resp = jnp.fft.ifft(spec[None, :, :] * bank[:, None, :], axis=-1)
+    spec = _fft1(image)                             # [R, C]
+    resp = _ifft1(spec[None, :, :] * bank[:, None, :])
     T = jnp.stack([resp.real > 0, resp.imag > 0], axis=-1)
     M = jnp.abs(resp) < (_M_THRESH_REF / cfg.cols)
     return T, M
@@ -191,7 +252,7 @@ def _bilinear(img: jax.Array, xq: jax.Array, yq: jax.Array) -> jax.Array:
 def _spectrum_magnitude(im: jax.Array) -> jax.Array:
     """|fftshifted 2-D DFT| / (M*N) (reference ``forwardFFT`` + magnitude)."""
     M, N = im.shape
-    F = jnp.fft.fftshift(jnp.fft.fft2(im))
+    F = jnp.fft.fftshift(_fft2(im))
     return jnp.abs(F) / (M * N)
 
 
@@ -225,11 +286,11 @@ def _phase_correlate(a: jax.Array, b: jax.Array):
     spectrum, 5x5 weighted-centroid refinement, signed shifts in
     (-dim/2, dim/2]. Returns (dx, dy, response)."""
     H, W = a.shape
-    Fa = jnp.fft.fft2(a)
-    Fb = jnp.fft.fft2(b)
+    Fa = _fft2(a)
+    Fb = _fft2(b)
     cross = Fa * jnp.conj(Fb)
     cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
-    corr = jnp.fft.ifft2(cross).real                 # [H, W]
+    corr = _ifft2(cross).real                        # [H, W]
     flat = jnp.argmax(corr)
     py, px = flat // W, flat % W
     # 5x5 weighted centroid around the (circular) peak

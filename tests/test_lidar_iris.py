@@ -78,3 +78,36 @@ class TestQuery:
         iris = li.make(ring_cloud(jax.random.PRNGKey(8)), CFG)
         i2 = li.from_wire(li.to_wire(iris), CFG)
         np.testing.assert_array_equal(np.asarray(iris.image), np.asarray(i2.image))
+
+
+class TestMatmulDFT:
+    """The r5 TPU DFT backend (dense [n, n] complex matmuls instead of
+    Bluestein FFT custom calls — the batched FFT program exceeded the
+    remote compile service's envelope, CLAUDE.md) must reproduce the
+    jnp.fft path: same quadrature bits, same match distances/yaw, same
+    retrieval decisions."""
+
+    def test_matches_fft_path(self, monkeypatch):
+        cloud0 = ring_cloud(jax.random.PRNGKey(7))
+        cloud1 = rotate_cloud(cloud0, 25 * 2 * np.pi / 360)
+        cloud2 = ring_cloud(jax.random.PRNGKey(8))  # different scene
+        i0, i1, i2 = (li.make(c, CFG) for c in (cloud0, cloud1, cloud2))
+
+        outs = {}
+        for flag in (False, True):
+            monkeypatch.setattr(li, "MATMUL_DFT", flag)
+            T, M = li.encode_features(i0.image, CFG)
+            d_rot, yaw = li.match_pair(i0.image, i1.image, CFG)
+            d_far, _ = li.match_pair(i0.image, i2.image, CFG)
+            outs[flag] = (
+                np.asarray(T), np.asarray(M),
+                float(d_rot), float(yaw), float(d_far),
+            )
+        a, b = outs[False], outs[True]
+        assert (a[0] == b[0]).mean() > 0.999   # quadrature bits
+        assert (a[1] == b[1]).mean() > 0.999   # noise masks
+        assert abs(a[2] - b[2]) < 5e-3         # true-pair distance
+        assert abs(a[3] - b[3]) < 1e-5         # recovered yaw
+        assert abs(a[4] - b[4]) < 5e-3         # false-pair distance
+        # and the separation the thresholds rely on survives either way
+        assert b[2] < b[4]
