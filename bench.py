@@ -110,6 +110,17 @@ def _kill_fallback_child() -> None:
         except Exception:
             pass
         _FALLBACK_CHILD[0] = None
+        _cleanup_fallback_out()
+
+
+def _cleanup_fallback_out() -> None:
+    path = _FALLBACK_OUT[0]
+    if path is not None:
+        _FALLBACK_OUT[0] = None
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
 
 def _emit_fallback_lines() -> None:
@@ -137,6 +148,7 @@ def _emit_fallback_lines() -> None:
             continue
         print(line, flush=True)
         _METRICS_PRINTED[0] += 1
+    _cleanup_fallback_out()
 
 
 def _start_cpu_fallback_watchdog(deadline: float) -> None:

@@ -139,7 +139,12 @@ def _matmul_dft() -> bool:
 
 def _dft_w(n: int, inverse: bool) -> jax.Array:
     k = jnp.arange(n, dtype=jnp.float32)
-    ang = (2.0 * jnp.pi / n) * jnp.outer(k, k)
+    # reduce j*k mod n BEFORE scaling: j*k < n^2 < 2^24 is exact in f32,
+    # so every angle stays below 2*pi — at raw j*k (~2250 rad for n=360)
+    # the f32 phase error is ~1e-4 rad, enough to flip near-zero
+    # quadrature bits between this path and jnp.fft (code-review r5)
+    jk = jnp.mod(jnp.outer(k, k), float(n))
+    ang = (2.0 * jnp.pi / n) * jk
     w = jax.lax.complex(jnp.cos(ang), jnp.sin(ang) * (1.0 if inverse else -1.0))
     return w / n if inverse else w
 

@@ -122,14 +122,20 @@ def deskew_gyro(
     tau * translation)`` with R(tau) the gyro-integrated rotation
     (piecewise per sample); each point moves by ``D(1)^{-1} D(tau)``.
     """
-    # piecewise rotation: the last sample boundary at or before tau
-    idx = jnp.clip(
-        jnp.searchsorted(sample_tfrac, times, side="right") - 1,
-        0, sample_R.shape[0] - 1,
-    )
+    # piecewise rotation: the last sample boundary at or before tau;
+    # points BEFORE the first boundary get the identity (sweep-start
+    # frame), not the first interval's end rotation (code-review r5:
+    # the clip-to-0 form displaced early-sweep points by one sample's
+    # rotation)
+    raw = jnp.searchsorted(sample_tfrac, times, side="right") - 1
+    idx = jnp.clip(raw, 0, sample_R.shape[0] - 1)
     # a plain [N, 3, 3] row gather is HBM-cheap next to registration's
     # NN pass; no need for anything fancier
-    R_tau = sample_R[idx]                               # [N, 3, 3]
+    R_tau = jnp.where(
+        (raw < 0)[:, None, None],
+        jnp.eye(3, dtype=sample_R.dtype),
+        sample_R[idx],
+    )                                                   # [N, 3, 3]
     R_end = sample_R[-1]
     t_end = translation
     # D(1)^{-1} D(tau) = (R_end^T R_tau, R_end^T (tau*t_end - t_end))

@@ -245,6 +245,18 @@ def _run_tcp(args) -> int:
                     procs[r] = subprocess.Popen(worker_cmd(r, ports, True))
                 else:
                     rcs[r] = rc
+            if any(rc not in (None, 0) for rc in rcs):
+                # a worker failed PERMANENTLY (respawn budget exhausted):
+                # abort the siblings now — they would otherwise block on
+                # the dead robot's fed_<r> sentinel until the 900*R-s
+                # barrier timeout, die, burn their own respawn budgets,
+                # and turn a known failure into a multi-hour hang
+                # (code-review r5)
+                for q, p2 in enumerate(procs):
+                    if rcs[q] is None and p2.poll() is None:
+                        p2.terminate()
+                        rcs[q] = -15
+                break
         wall = time.perf_counter() - t0
         if any(rcs):
             print(f"worker exit codes: {rcs}", file=sys.stderr)

@@ -111,7 +111,9 @@ def main(argv=None):
 
     wd = args.workdir
     ckpt_path = os.path.join(wd, f"ckpt_{r}.npz")
+    counters_path = os.path.join(wd, f"ckpt_counters_{r}")
     start_at = 0
+    intra = inter = 0
     if args.resume and os.path.exists(ckpt_path):
         from .runtime import checkpoint
 
@@ -121,6 +123,16 @@ def main(argv=None):
         # after the checkpoint but before the crash are re-fed; peers
         # drop the replayed descriptor indices as out-of-order dupes.
         start_at = min(mapper._frames_seen, len(splits[r]))
+        # loop counters are report-side state, not Mapper state: without
+        # the sidecar a respawned worker would report only post-crash
+        # loop closures (the map itself is unaffected)
+        try:
+            intra, inter = (
+                int(x) for x in
+                open(counters_path).read().split(",")
+            )
+        except (OSError, ValueError):
+            pass
     # barriers scale with fleet size: on TPU a cold-cache first
     # compile alone can take 10+ min, and robot r waits behind r-1
     # robots' full feeds
@@ -138,7 +150,6 @@ def main(argv=None):
     if r > 0:
         _wait_for(os.path.join(wd, f"fed_{r - 1}"), t_feed)
 
-    intra = inter = 0
     fed = 0
     for k in splits[r][start_at:]:
         T = get_pose(k)
@@ -157,6 +168,7 @@ def main(argv=None):
             from .runtime import checkpoint
 
             checkpoint.save(mapper, ckpt_path)
+            _publish(wd, f"ckpt_counters_{r}", f"{intra},{inter}")
         if args.crash_after and not args.resume and fed >= args.crash_after:
             os._exit(3)  # fault injection: simulated hard crash mid-feed
     _publish(wd, f"fed_{r}")

@@ -32,13 +32,18 @@ def save(mapper: Mapper, path: str) -> None:
     The snapshot is taken under the mapper's state lock so a bus-thread
     peer ingest can't land between the state capture and the host-side
     cursor capture (``_frames_seen``/``_keyframes``/``_evicted`` must
-    describe the same state the arrays do); the actual npz write happens
-    outside the lock.
+    describe the same state the arrays do). Only the REFERENCE captures
+    happen under the lock — the state pytree is immutable, so the
+    device-to-host copy (seconds of tunneled-link time at multi-MB
+    state sizes) runs after release instead of stalling every
+    add_frame/peer ingest behind it (code-review r5).
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with mapper._state_lock:
-        arrays = _flatten_state(mapper.state)
-        meta = _capture_meta(mapper, arrays)
+        state = mapper.state                 # immutable pytree reference
+        meta, extra = _capture_meta(mapper)
+    arrays = _flatten_state(state)
+    arrays.update(extra)
     tmp = path + ".tmp"
     np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
     # np.savez appends .npz to names lacking it
@@ -46,9 +51,14 @@ def save(mapper: Mapper, path: str) -> None:
     os.replace(actual_tmp, path)
 
 
-def _capture_meta(mapper: Mapper, arrays: dict) -> dict:
+def _capture_meta(mapper: Mapper) -> tuple[dict, dict]:
+    """(meta, extra_arrays): the host-side snapshot. Caller holds the
+    state lock. The fleet staged-keyframe arrays (at most a batch of
+    pending frames) do materialize here; the multi-MB MapperState copy
+    is what save() defers past the lock."""
     with mapper._pending_loops_lock:  # serve thread appends concurrently
         pending = list(mapper._pending_server_loops)
+    extra: dict = {}
     meta = {
         "version": 1,
         "robot": mapper.robot,
@@ -94,25 +104,25 @@ def _capture_meta(mapper: Mapper, arrays: dict) -> dict:
         staged = mapper._fleet_staged
         meta["fleet_staged_n"] = len(staged)
         if staged:
-            arrays["staged_robot"] = np.asarray(
+            extra["staged_robot"] = np.asarray(
                 [s[0] for s in staged], np.int32
             )
-            arrays["staged_R"] = np.stack(
+            extra["staged_R"] = np.stack(
                 [np.asarray(s[1].R) for s in staged]
             )
-            arrays["staged_t"] = np.stack(
+            extra["staged_t"] = np.stack(
                 [np.asarray(s[1].t) for s in staged]
             )
-            arrays["staged_xyz"] = np.stack(
+            extra["staged_xyz"] = np.stack(
                 [np.asarray(s[2].xyz) for s in staged]
             )
-            arrays["staged_mask"] = np.stack(
+            extra["staged_mask"] = np.stack(
                 [np.asarray(s[2].mask) for s in staged]
             )
-            arrays["staged_stamp"] = np.asarray(
+            extra["staged_stamp"] = np.asarray(
                 [s[3] for s in staged], np.float64
             )
-    return meta
+    return meta, extra
 
 
 def load(mapper: Mapper, path: str) -> Mapper:

@@ -1917,7 +1917,13 @@ class Mapper:
         ):
             return None
         # freshness gate: the query inputs (own latest keyframe x peer DB)
-        # are unchanged since the last dispatch — the result would be too
+        # are unchanged since the last dispatch — the retrieval result
+        # would be too. The gate is re-armed below whenever VERIFICATION
+        # fails: the RPC is randomized (fresh RANSAC key per attempt) and
+        # uses the requester's evolving pose estimate, so a borderline
+        # loop keeps its retry-per-spin semantics (the pre-gate behavior,
+        # and the reference's loop-thread cadence) — only the
+        # no-candidate idle case stops re-dispatching (code-review r5).
         if not self._inter_dirty:
             return None
         self._inter_dirty = False
@@ -1951,10 +1957,15 @@ class Mapper:
             # peer down (crashed / restarting): a failed verification RPC
             # is a missed loop opportunity, not an error — the reference's
             # ROS service call fails the same way under respawn and the
-            # caller just moves on. The freshness gate was already cleared,
-            # so this exact query is not re-dispatched until new data.
+            # caller just moves on. Re-arm the gate: the peer may come
+            # back and the verification should be retried next spin.
+            self._inter_dirty = True
             return None
         if not resp.success:
+            # randomized verification failed on a real retrieval match:
+            # re-arm so the next spin retries with a fresh RANSAC key and
+            # the current (possibly optimizer-improved) pose estimate
+            self._inter_dirty = True
             return None
         z = se3.Pose(
             jnp.asarray(resp.pose_between[:3, :3], jnp.float32),

@@ -17,6 +17,7 @@ import io
 import socket
 import struct
 import threading
+import zipfile
 from dataclasses import dataclass
 from typing import Callable
 
@@ -97,6 +98,12 @@ _DATACLASS_KINDS = {
     "verify": VerifyRequest,
     "verify_resp": VerifyResponse,
 }
+
+# everything _decode_frame can raise on a malformed/hostile payload
+# (np.load raises ValueError or zipfile.BadZipFile on garbage; dataclass
+# reconstruction raises TypeError on wrong fields; _rebuild raises
+# KeyError on a malformed tree)
+_DECODE_ERRORS = (ValueError, KeyError, TypeError, zipfile.BadZipFile)
 
 
 def _flatten(val, prefix: str, out: dict) -> None:
@@ -241,7 +248,14 @@ class TcpBus:
                 elif kind == "verify":
                     resp = self._on_verify(obj)
                     _send_frame(conn, ("verify_resp", resp))
-        except (ConnectionError, EOFError, OSError):
+        except (ConnectionError, EOFError, OSError, *_DECODE_ERRORS):
+            # malformed/hostile frames (the decoder raises ValueError /
+            # BadZipFile / KeyError / TypeError, NOT OSError) must drop
+            # the connection, not kill the handler thread — the
+            # long-lived mesh port is exactly what the pickle-free codec
+            # hardens, and an uncaught decode error would leak the fd
+            pass
+        finally:
             conn.close()
 
     def broadcast_descriptor(self, from_robot: int, msg: DescriptorMsg):

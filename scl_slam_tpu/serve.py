@@ -122,12 +122,14 @@ class SlamServer:
         srv.close()
 
     def _client(self, conn: socket.socket):
+        from .runtime.transport import _DECODE_ERRORS
+
         try:
             while not self._stop.is_set():
                 kind, payload = _recv_frame(conn)
                 _send_frame(conn, ("resp", self.handle(kind, payload)))
-        except (ConnectionError, EOFError, OSError):
-            pass
+        except (ConnectionError, EOFError, OSError, *_DECODE_ERRORS):
+            pass  # disconnect or malformed frame: drop the connection
         finally:
             conn.close()
 

@@ -216,10 +216,13 @@ class TestTwoRobots:
         assert int(m.state.counts[1]) == 1
 
     def test_inter_detect_freshness_gate(self, monkeypatch):
-        """detect_inter_loop dispatches the device query only when a new
-        own keyframe or peer descriptor arrived since the last query —
-        at serving cadence (spin_once per raw frame) repeated queries on
-        unchanged inputs are pure dispatch-floor waste."""
+        """detect_inter_loop dispatches the device query only when
+        something could change its outcome: a new own keyframe, a new
+        peer descriptor, OR a previous found-but-failed verification
+        (the RPC is randomized, so borderline matches keep their
+        retry-per-spin semantics). The pure-idle case — no candidates,
+        nothing new — must not re-dispatch (dispatch-floor waste at
+        serving cadence)."""
         import scl_slam_tpu.runtime.mapper as mp
 
         bus = LocalBus()
@@ -239,21 +242,28 @@ class TestTwoRobots:
         mappers[0].add_frame(se3.identity(), scan, stamp=0.0)
         assert mappers[0].detect_inter_loop() is None  # empty peer DB
         assert calls[0] == 1
-        # unchanged inputs: no re-dispatch
+        # unchanged inputs, no candidate: no re-dispatch
         for _ in range(3):
             assert mappers[0].detect_inter_loop() is None
         assert calls[0] == 1
-        # a peer descriptor re-arms the query
+        # a peer descriptor re-arms the query; the zeros-wire candidate
+        # is retrieved but fails geometric verification, which RE-ARMS
+        # the gate (randomized RANSAC deserves a retry) — so every spin
+        # retries until the candidate stops matching or verifies
         wire = np.zeros(20 * 60, np.float32)
         assert mappers[0].ingest_peer_descriptor(
             1, 0, se3.identity(), se3.identity(), wire
         )
-        mappers[0].detect_inter_loop()
+        assert mappers[0].detect_inter_loop() is None  # verify fails
         assert calls[0] == 2
-        # a new own keyframe re-arms it too
+        assert mappers[0]._inter_dirty  # re-armed by the failed verify
         mappers[0].detect_inter_loop()
-        assert calls[0] == 2
+        assert calls[0] == 3
+        # a new own keyframe also re-arms
+        mappers[0]._inter_dirty = False  # silence the retry loop
+        mappers[0].detect_inter_loop()
+        assert calls[0] == 3
         far = se3.Pose(jnp.eye(3), jnp.asarray([10.0, 0.0, 0.0]))
         mappers[0].add_frame(far, scan + np.float32([10.0, 0.0, 0.0]), stamp=0.1)
         mappers[0].detect_inter_loop()
-        assert calls[0] == 3
+        assert calls[0] == 4

@@ -140,3 +140,36 @@ class TestTcpBusCrossProcess:
         # the socket-RPC verification produced inter-robot loops
         assert res[1]["inter_loops"] >= 1, res
         assert res[0]["traj_finite"] and res[1]["traj_finite"]
+
+
+class TestHostileFrames:
+    def test_malformed_frame_drops_connection_not_thread(self):
+        """A garbage payload must close the connection without killing the
+        handler thread machinery — the bus must keep serving well-formed
+        peers afterwards (code-review r5: decode errors are ValueError/
+        BadZipFile, which the old except clause did not catch)."""
+        import socket as sk
+        import struct
+        import time
+
+        bus = TcpBus(0, 0, {})
+        got = []
+        bus.register(0, lambda m: got.append(m),
+                     lambda req: VerifyResponse(False, None, 0.0))
+        try:
+            # hostile connection: length-prefixed garbage
+            with sk.create_connection(("127.0.0.1", bus.port)) as s:
+                s.sendall(struct.pack("!Q", 16) + b"not-an-npz-frame")
+                # server must close on us (recv -> b"")
+                s.settimeout(5)
+                assert s.recv(1) == b""
+            # the bus still serves a well-formed peer afterwards
+            peer = TcpBus(1, 0, {0: ("127.0.0.1", bus.port)})
+            peer.broadcast_descriptor(1, make_msg(robot=1, index=0))
+            deadline = time.time() + 5
+            while not got and time.time() < deadline:
+                time.sleep(0.01)
+            assert got and got[0].index == 0
+            peer.close()
+        finally:
+            bus.close()
