@@ -39,6 +39,31 @@ def test_tcp_two_process_end_to_end(tmp_path, capsys):
 
 
 @pytest.mark.timeout(600)
+def test_tcp_permanent_failure_aborts_fast(tmp_path, capsys):
+    """A worker that exhausts its respawn budget (here: zero) must fail
+    the run IMMEDIATELY — the supervisor terminates the siblings instead
+    of letting them burn the 900*R-second fed_<r> barrier timeout and
+    their own respawn budgets (code-review r5)."""
+    import time
+
+    from scl_slam_tpu import run_multi
+
+    out = str(tmp_path / "tcp_abort")
+    t0 = time.monotonic()
+    rc = run_multi.main([
+        "--robots", "2", "--frames", "60", "--transport", "tcp",
+        "--platform", "cpu", "--output", out,
+        "--crash-robot", "0", "--crash-after", "5",
+    ])
+    wall = time.monotonic() - t0
+    captured = capsys.readouterr()
+    assert rc == 1, captured.err[-1000:]
+    assert "exit codes" in captured.err
+    # well under the 1800 s barrier timeout the old code waited out
+    assert wall < 400, wall
+
+
+@pytest.mark.timeout(600)
 def test_tcp_respawn_resumes_crashed_worker(tmp_path, capsys):
     """Elastic restart (reference launch respawn="true",
     single_ugv.launch:4): robot 0 hard-crashes mid-feed (fault
